@@ -1,0 +1,103 @@
+"""Catalog seam (SURVEY.md §2.1 Iceberg note, OP-01/04/05).
+
+The north rule targets Iceberg tables; this sandbox has no Iceberg runtime
+jar and no network, so all pipeline code talks to this seam and never to a
+concrete format.  Two implementations:
+
+  - ParquetCatalog (default here): plain parquet directories under a root,
+    with dynamic partition-overwrite for idempotent re-writes and an
+    append + read-side latest-wins emulation of MERGE for the checkpoint
+    table.
+  - IcebergCatalog (documented, unexercised in-sandbox): on a real cluster
+    add
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
+        --conf spark.sql.catalog.kg=org.apache.iceberg.spark.SparkCatalog
+        --conf spark.sql.catalog.kg.type=hive   (or hadoop/rest)
+    and tables resolve as ``kg.db.<name>``; write_table uses
+    ``df.writeTo(name).overwritePartitions()`` and merge_table a real
+    ``MERGE INTO`` keyed on (run_id, stage, partition_id).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+
+class ParquetCatalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = str(root)
+
+    def _path(self, name: str) -> str:
+        return str(Path(self.root) / name)
+
+    def exists(self, name: str) -> bool:
+        p = Path(self._path(name))
+        return p.exists() and any(p.glob("**/*.parquet"))
+
+    def load_table(self, name: str, schema: StructType | None = None) -> DataFrame:
+        reader = self.spark.read
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.parquet(self._path(name))
+
+    def write_table(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        """Full overwrite, or dynamic partition-overwrite when partitioned —
+        a re-executed partition replaces its previous output, never
+        duplicates it (exactly-once materialization, SURVEY.md §4.2-H)."""
+        w = df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(name))
+
+    def append_table(self, df: DataFrame, name: str) -> None:
+        df.write.mode("append").parquet(self._path(name))
+
+    def drop_table(self, name: str) -> None:
+        import shutil
+
+        shutil.rmtree(self._path(name), ignore_errors=True)
+
+
+class IcebergCatalog:
+    """Config-documented Iceberg implementation; requires the runtime jar
+    (absent in this sandbox).  Method bodies mirror ParquetCatalog on the
+    DataSourceV2 API."""
+
+    def __init__(self, spark: SparkSession, namespace: str = "kg.db"):
+        self.spark = spark
+        self.namespace = namespace
+
+    def _tbl(self, name: str) -> str:
+        return f"{self.namespace}.{name}"
+
+    def exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(self._tbl(name))
+
+    def load_table(self, name: str, schema=None) -> DataFrame:
+        return self.spark.read.format("iceberg").load(self._tbl(name))
+
+    def write_table(self, df: DataFrame, name: str, partition_by=None) -> None:
+        writer = df.writeTo(self._tbl(name))
+        if self.exists(name):
+            writer.overwritePartitions()
+        else:
+            writer.create()
+
+    def append_table(self, df: DataFrame, name: str) -> None:
+        df.writeTo(self._tbl(name)).append()
+
+    def merge_checkpoint(self, df: DataFrame, name: str) -> None:
+        df.createOrReplaceTempView("_ckpt_updates")
+        self.spark.sql(
+            f"""MERGE INTO {self._tbl(name)} t USING _ckpt_updates s
+                ON t.run_id = s.run_id AND t.stage = s.stage
+                   AND t.partition_id = s.partition_id
+                WHEN MATCHED THEN UPDATE SET *
+                WHEN NOT MATCHED THEN INSERT *"""
+        )

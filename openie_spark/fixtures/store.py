@@ -1,0 +1,62 @@
+"""Fixture materialization: pure-pyarrow parquet writers + a content cache.
+
+Fixtures are generated deterministically (seeded) and cached as parquet under
+<repo>/.fixtures (gitignored).  Pyarrow is used directly so the oracle side
+never needs a SparkSession; Spark reads the same files with the explicit
+DOC_SCHEMA contract.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+FIXTURE_DIR = Path(os.environ.get("OPENIE_FIXTURE_DIR", Path(__file__).resolve().parents[2] / ".fixtures"))
+
+SPAN_PA = pa.struct(
+    [
+        pa.field("kind", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("media_ref", pa.string()),
+        pa.field("offset", pa.int32()),
+    ]
+)
+
+DOC_PA = pa.schema(
+    [pa.field("doc_id", pa.string(), nullable=False), pa.field("spans", pa.list_(SPAN_PA), nullable=False)]
+)
+
+
+def docs_to_table(docs: list[dict]) -> pa.Table:
+    return pa.Table.from_pylist(
+        [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs], schema=DOC_PA
+    )
+
+
+def write_docs(docs: list[dict], path: str | Path) -> str:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(docs_to_table(docs), path)
+    return str(path)
+
+
+def ensure(name: str, builder) -> str:
+    """Build-once cache: returns the parquet path for fixture `name`,
+    calling `builder(path)` to materialize it on first use."""
+    FIXTURE_DIR.mkdir(parents=True, exist_ok=True)
+    path = FIXTURE_DIR / f"{name}.parquet"
+    if not path.exists():
+        tmp = path.with_suffix(".tmp.parquet")
+        builder(tmp)
+        tmp.rename(path)
+    return str(path)
+
+
+def write_rows(rows: list[dict], schema: pa.Schema, path: str | Path) -> str:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema), path)
+    return str(path)

@@ -1,0 +1,73 @@
+"""L4 SQL-oracle layer: replicate the driver's compare locally — every
+oracle-checked ``queries()`` entry must match DuckDB on row-count, column
+names, and order-insensitive values at sf0.01 (TESTDATA.md)."""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def _duck(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{Path(SF_DIR)}/{t}.parquet')"
+        )
+    return con.sql(sql).df()
+
+
+def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = df[sorted(df.columns)]
+    rows = []
+    for row in df.itertuples(index=False):
+        canon_row = []
+        for v in row:
+            if isinstance(v, float):
+                canon_row.append(round(v, 6) if not math.isnan(v) else "nan")
+            elif hasattr(v, "isoformat"):
+                canon_row.append(v.isoformat())
+            else:
+                canon_row.append(v)
+        rows.append(tuple(canon_row))
+    return sorted(rows, key=repr)
+
+
+ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_oracle_parity(spark, name):
+    q = entrymod.queries()[name]
+    sdf = q(spark, SF_DIR).toPandas()
+    ddf = _duck(entrymod.oracle_sql()[name])
+    assert sorted(sdf.columns) == sorted(ddf.columns), (
+        sorted(sdf.columns),
+        sorted(ddf.columns),
+    )
+    assert len(sdf) == len(ddf), (len(sdf), len(ddf))
+    a, b = _canon(sdf), _canon(ddf)
+    mismatches = [i for i, (x, y) in enumerate(zip(a, b)) if x != y][:5]
+    assert a == b, f"first mismatches at {mismatches}: " + "; ".join(
+        f"{a[i]} != {b[i]}" for i in mismatches
+    )
+
+
+def test_rows_only_queries(spark):
+    """Queries without oracle SQL must still run and return a stable schema."""
+    qs = entrymod.queries()
+    for name in set(qs) - set(entrymod.oracle_sql()):
+        df = qs[name](spark, SF_DIR)
+        assert df.count() >= 0
+        assert len(df.schema.fields) > 0
