@@ -65,11 +65,18 @@ def _typo(name: str, i: int) -> str:
 
 
 def alias_rows(n: int = 200) -> list[dict]:
-    """alias_dict rows: alias_norm, entity_id, entity_name (all normalized)."""
+    """alias_dict rows: alias_norm, entity_id, entity_name (all normalized).
+
+    Every 3rd entity (i % 3 == 2) deliberately LACKS its exact-name alias —
+    corpus mentions of those entities are reachable only through the LSH
+    path (typo variant at jaccard >= 0.5), so both link paths get genuine
+    coverage in the golden fixtures."""
     rows: list[dict] = []
     for i, name in enumerate(entity_names(n)):
         eid = 1000 + i
-        aliases = {name}
+        aliases = set()
+        if i % 3 != 2:
+            aliases.add(name)
         words = name.split()
         if len(words) > 1:
             aliases.add("".join(w[0] for w in words))  # abbreviation

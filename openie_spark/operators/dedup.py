@@ -1,0 +1,187 @@
+"""Deduplication suite for large-scale training-data pipelines.
+
+All variants are shuffle-shaped for the 100 TB posture: no pairwise cross
+products — every "pairs" operator goes through a blocking key (hash bucket,
+LSH band, simhash chunk) and joins within buckets only.
+
+  - exact:        content-hash groupBy (one shuffle, map-side combine)
+  - minhash-LSH:  word-shingle MinHash → banded bucket join → exact-Jaccard
+                  verify (same frozen scheme as entity linking)
+  - simhash:      64-bit simhash; Hamming-≤k candidate pairs via the
+                  pigeonhole chunk trick (k+1 chunks, equal-chunk join)
+  - n-gram Jaccard: exact token-set similarity via explode + equi-join on
+                  tokens (linear in postings, not quadratic in docs)
+  - embedding cosine near-dup: see similarity.py (shares the ANN kernels)
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from openie_spark.functions import minhash as mh
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list(id_col)).alias("members"),
+        )
+    )
+
+
+def word_shingles_col(text_col: str, n: int = 3):
+    """Word n-gram shingles, JVM-side: split → sliding windows via
+    transform(sequence(...)) → concat_ws → distinct."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    return F.array_distinct(grams)
+
+
+@pandas_udf(ArrayType(LongType()))
+def _doc_band_keys_udf(shingle_arrays: pd.Series) -> pd.Series:
+    return shingle_arrays.map(
+        lambda arr: mh.band_keys(mh.signature(list(arr))) if arr is not None and len(arr) else []
+    )
+
+
+def minhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs: shingle → sign → band → bucket join
+    → exact-Jaccard verify.  Output (id_a, id_b, jaccard), id_a < id_b."""
+    base = df.select(
+        F.col(id_col).alias("id"), word_shingles_col(text_col).alias("sh")
+    ).withColumn("bands", _doc_band_keys_udf("sh"))
+    exp = base.select("id", "sh", F.explode("bands").alias("band_key"))
+    a = exp.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_key"
+    )
+    b = exp.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_key"
+    )
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 64
+HAMMING_K = 3  # candidate pairs within Hamming distance <= 3
+N_CHUNKS = HAMMING_K + 1  # pigeonhole: some chunk must match exactly
+
+
+def _simhash(tokens: list[str]) -> int:
+    if not tokens:
+        return 0
+    acc = [0] * SIMHASH_BITS
+    for t in set(tokens):
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+        )
+        for i in range(SIMHASH_BITS):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    v = 0
+    for i in range(SIMHASH_BITS):
+        if acc[i] > 0:
+            v |= 1 << i
+    return v - (1 << 63)  # signed int64
+
+
+@pandas_udf(LongType())
+def simhash_udf(text: pd.Series) -> pd.Series:
+    return text.map(lambda t: _simhash((t or "").lower().split()))
+
+
+def simhash_dup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = HAMMING_K
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature, pigeonhole chunk join
+    (k+1 chunks of 16 bits), Hamming verify via bit_count(xor)."""
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sig"))
+    chunks = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_idx"),
+                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias(
+                            "chunk_val"
+                        ),
+                    )
+                    for c in range(N_CHUNKS)
+                ]
+            )
+        ).alias("ch"),
+    ).select("id", "sig", "ch.chunk_idx", "ch.chunk_val")
+    a = chunks.select(
+        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
+    )
+    b = chunks.select(
+        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val"
+    )
+    return (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard pairs via the postings-join pattern: explode
+    distinct tokens, self-join on token, count common, divide by union size.
+    Linear in total postings; this is the exact (non-probabilistic) dedup
+    path and the SQL-oracle-checkable one."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias(
+            "tok"
+        ),
+    ).where(F.col("tok") != "")
+    sizes = toks.groupBy("id").agg(F.count("*").alias("n_toks"))
+    a = toks.select(F.col("id").alias("id_a"), "tok")
+    b = toks.select(F.col("id").alias("id_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_toks").alias("nb")), "id_b")
+        .withColumn(
+            "jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "jaccard")
+    )

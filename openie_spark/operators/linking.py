@@ -1,0 +1,137 @@
+"""Entity linking (OP-30..35, SURVEY.md §2.4).
+
+Two paths, in order:
+  1. OP-30 exact: broadcast hash join mentions ⋈ alias_dict on
+     mention_norm = alias_norm (the dict is the small dimension the north
+     star calls the "broadcast alias dictionary").
+  2. OP-31..34 MinHash-LSH for the remainder: char-3-gram shingles
+     (JVM-side higher-order functions — no UDF), 64-perm MinHash + 16x4
+     banding (vectorized pandas UDF over the shared frozen scheme in
+     functions/minhash.py), candidate generation by shuffled equi-join on
+     band keys, exact-Jaccard verification (array_intersect/array_union,
+     JVM-side) at threshold 0.5, best match per mention by
+     (jaccard desc, entity_id asc) — a total order, so deterministic.
+  3. OP-35 minting: still-unlinked mentions get entity_id =
+     xxhash64(mention_norm) — deterministic, partition-independent (never
+     monotonically_increasing_id).
+
+Scale notes (10^12-doc posture): the LSH join is a plain shuffled equi-join
+on 16 exploded band keys per side — linear fan-out, no cross product; the
+distinct-mentions projection upstream collapses the join input to unique
+mention_norm values (bounded by vocabulary, not corpus size); the alias dict
+is broadcast once.  Hot mention_norm values are irrelevant here because the
+join runs on DISTINCT mentions; the hot-key problem lives in the
+triples→links join back, handled by AQE skew split + optional salting
+(operators/skew.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
+
+from openie_spark.functions import minhash as mh
+
+
+def shingles_col(col: str):
+    """OP-31 char-3-gram shingles, computed JVM-side with higher-order
+    array functions (sequence/transform/array_distinct) — no Python."""
+    c = F.col(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.length(c) - 3),
+        lambda i: c.substr(i + 1, F.lit(3)),
+    )
+    return F.when(F.length(c) >= 3, F.array_distinct(grams)).otherwise(
+        F.when(F.length(c) > 0, F.array(c)).otherwise(F.array().cast("array<string>"))
+    )
+
+
+@pandas_udf(ArrayType(LongType()))
+def band_keys_udf(norm: pd.Series) -> pd.Series:
+    """OP-32/33: MinHash signature → 16 LSH band keys (frozen scheme)."""
+    return norm.map(lambda s: mh.band_keys_for(s) if s else [])
+
+
+def exact_links(mentions_distinct: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """OP-30: broadcast exact-alias join → (mention_norm, entity_id, method)."""
+    return (
+        mentions_distinct.join(
+            F.broadcast(alias_dict),
+            mentions_distinct.mention_norm == alias_dict.alias_norm,
+            "inner",
+        )
+        # a mention may hit several aliases of several entities; keep the
+        # deterministic min entity per mention
+        .groupBy("mention_norm")
+        .agg(F.min("entity_id").alias("entity_id"))
+        .withColumn("method", F.lit("exact"))
+    )
+
+
+def lsh_links(unlinked: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """OP-31..34: LSH candidate blocking + exact-Jaccard verify + best match.
+
+    unlinked: DataFrame[mention_norm] (distinct).
+    Returns (mention_norm, entity_id, method='lsh').
+    """
+    m = unlinked.select(
+        "mention_norm",
+        shingles_col("mention_norm").alias("m_shingles"),
+        band_keys_udf("mention_norm").alias("m_bands"),
+    )
+    a = alias_dict.select(
+        "alias_norm",
+        "entity_id",
+        shingles_col("alias_norm").alias("a_shingles"),
+        band_keys_udf("alias_norm").alias("a_bands"),
+    )
+    m_exp = m.select(
+        "mention_norm", "m_shingles", F.explode("m_bands").alias("band_key")
+    )
+    a_exp = a.select(
+        "alias_norm", "entity_id", "a_shingles", F.explode("a_bands").alias("band_key")
+    )
+    cand = (
+        m_exp.join(a_exp, "band_key")
+        .dropDuplicates(["mention_norm", "alias_norm", "entity_id"])
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("m_shingles", "a_shingles"))
+            / F.size(F.array_union("m_shingles", "a_shingles")),
+        )
+        .where(F.col("jaccard") >= mh.JACCARD_THRESHOLD)
+    )
+    w = Window.partitionBy("mention_norm").orderBy(
+        F.desc("jaccard"), F.asc("entity_id"), F.asc("alias_norm")
+    )
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("mention_norm", "entity_id", F.lit("lsh").alias("method"))
+    )
+
+
+def mint_ids(unlinked: DataFrame) -> DataFrame:
+    """OP-35: deterministic new-entity ids for unlinked mentions."""
+    return unlinked.select(
+        "mention_norm",
+        F.xxhash64("mention_norm").alias("entity_id"),
+        F.lit("minted").alias("method"),
+    )
+
+
+def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Full linking stage: distinct mentions → exact ∪ lsh ∪ minted links.
+    Input needs a mention_norm column; output one row per distinct
+    mention_norm with (entity_id, method)."""
+    distinct = mentions.select("mention_norm").distinct()
+    exact = exact_links(distinct, alias_dict)
+    rest1 = distinct.join(exact, "mention_norm", "left_anti")  # OP-53
+    lsh = lsh_links(rest1, alias_dict)
+    rest2 = rest1.join(lsh, "mention_norm", "left_anti")
+    minted = mint_ids(rest2)
+    return exact.unionByName(lsh).unionByName(minted)

@@ -1,0 +1,146 @@
+"""Multimodal column plumbing: media as opaque binary + typed metadata.
+
+The image/audio decode libraries are NOT in this container, so the decode
+kernels are deterministic STUBS (clearly marked) — but everything Spark-side
+is real and tested: schemas, Arrow batch shapes, mapInPandas iterator
+signatures, partition-size controls.  Swapping a stub for PIL/ffmpeg changes
+one inner function, not the plan.
+
+Pipeline shape for 100 TB of media:
+  docs(spans) → explode media spans → (fetch bytes: here synthesized
+  deterministically from media_ref) → mapInPandas decode/feature batches →
+  feature table keyed by (doc_id, span_pos).
+
+mapInPandas (not a scalar UDF) because decode output is wide and variable
+(feature vectors, frame arrays) and because batch-level amortization of
+decoder init matters; maxRecordsPerBatch in session.py bounds batch memory.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("span_pos", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("span_pos", IntegerType(), False),
+        StructField("kind", StringType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("width", IntegerType(), True),  # images only
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),  # audio only
+        StructField("feature", ArrayType(FloatType(), containsNull=False), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def media_spans(docs: DataFrame) -> DataFrame:
+    """Explode non-text spans with their array position (posexplode so the
+    span-order provenance survives into the feature table)."""
+    return docs.select(
+        "doc_id", F.posexplode("spans").alias("span_pos", "s")
+    ).where(F.col("s.kind") != "text").select(
+        "doc_id",
+        F.col("span_pos").cast("int"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def fetch_media_bytes(media: DataFrame) -> DataFrame:
+    """STUB fetch: real deployments read from object storage by media_ref;
+    here bytes are synthesized deterministically from the ref (sha256-seeded)
+    so every downstream batch shape is real."""
+    return media.withColumn(
+        "content",
+        F.sha2(F.col("media_ref"), 256).cast("binary"),
+    )
+
+
+def _decode_image_stub(content: bytes) -> tuple[int, int]:
+    """STUB — container has no image codec.  Deterministic fake dimensions
+    derived from the content hash.  Replace with PIL:  `img =
+    PIL.Image.open(io.BytesIO(content)); return img.size`."""
+    h = hashlib.sha256(content or b"").digest()
+    return 64 + h[0] % 512, 64 + h[1] % 512
+
+
+def _decode_audio_stub(content: bytes) -> int:
+    """STUB — deterministic fake duration; replace with soundfile/ffmpeg."""
+    h = hashlib.sha256(content or b"").digest()
+    return 250 + int.from_bytes(h[2:4], "big") % 60_000
+
+
+def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """STUB feature extractor — a deterministic hash-derived vector with the
+    exact shape/dtype a real encoder would emit."""
+    h = hashlib.sha256(content or b"").digest()
+    rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+    return [float(x) for x in np.round(rng.standard_normal(dim), 6)]
+
+
+def decode_media(media_with_bytes: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extraction over Arrow batches."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = bytes(r.content) if r.content is not None else b""
+                width = height = duration = None
+                if r.kind == "image":
+                    width, height = _decode_image_stub(content)
+                elif r.kind == "audio":
+                    duration = _decode_audio_stub(content)
+                rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "span_pos": r.span_pos,
+                        "kind": r.kind,
+                        "media_ref": r.media_ref,
+                        "n_bytes": len(content),
+                        "width": width,
+                        "height": height,
+                        "duration_ms": duration,
+                        "feature": _feature_stub(content),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields]
+            )
+
+    return media_with_bytes.mapInPandas(decode, MEDIA_FEATURES_SCHEMA)
+
+
+def media_feature_stage(docs: DataFrame) -> DataFrame:
+    """Full media path: explode → fetch(stub) → decode(stub) → features."""
+    return decode_media(fetch_media_bytes(media_spans(docs)))

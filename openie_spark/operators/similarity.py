@@ -1,0 +1,158 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB pipeline needs both:
+  - brute-force cosine top-k — the exact baseline; JVM-side arithmetic via
+    zip_with/aggregate (no Python in the hot path), broadcast of the query
+    set, TakeOrdered per query.  Right answer for small query sets against
+    huge corpora (scan-shaped, no index).
+  - SRP-LSH (signed random projections) bucketed top-k — the scale path:
+    hyperplane sign bits → banded bucket join → exact cosine only within
+    buckets.  Recall < 1 by construction; band/bit counts trade recall for
+    join fan-in.  Deterministic hyperplanes derived from sha256 seeds.
+
+An IVF (inverted-file) variant would slot in the same way with kmeans
+centroids as the blocking key; SRP is chosen here because it needs no
+training pass and stays fully deterministic.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.window import Window
+
+SRP_BITS = 64
+SRP_BANDS = 8  # 8 bands x 8 bits
+SRP_DIM = 64  # embedding dim of the driver table
+
+
+def cosine_col(a: str, b: str):
+    """JVM-side cosine similarity between two array<float/double> columns."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (excluding self).
+    queries is broadcast — the canonical 'small probe set vs huge corpus'
+    shape; the corpus is scanned once, no shuffle until the per-query top-k
+    (window over query_id, which AQE handles)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_col("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _hyperplanes(dim: int, bits: int = SRP_BITS) -> np.ndarray:
+    """Deterministic Gaussian hyperplanes from sha256-seeded Generator."""
+    seed = int.from_bytes(hashlib.sha256(b"kg-srp-lsh").digest()[:8], "big")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim))
+
+
+def srp_band_keys_udf(dim: int):
+    planes = _hyperplanes(dim)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        def keys(v):
+            x = np.asarray(v, dtype=np.float64)
+            bits = (planes @ x) > 0
+            out = []
+            per = SRP_BITS // SRP_BANDS
+            for b in range(SRP_BANDS):
+                chunk = bits[b * per : (b + 1) * per]
+                val = 0
+                for bit in chunk:
+                    val = (val << 1) | int(bit)
+                out.append((b << 32) | val)
+            return out
+
+        return vecs.map(keys)
+
+    return _udf
+
+
+def srp_topk(
+    corpus: DataFrame, queries: DataFrame, k: int = 5, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = SRP_DIM,
+) -> DataFrame:
+    """Approximate top-k: exact cosine evaluated only within SRP buckets.
+    Scale shape: band-key equi-join (shuffle bounded by bucket sizes), then
+    per-query top-k."""
+    keys = srp_band_keys_udf(dim)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(keys(vec_col)).alias("band_key"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.explode(keys(vec_col)).alias("band_key"),
+    )
+    cand = (
+        q.join(c, "band_key")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("cosine", cosine_col("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id",
+    vec_col: str = "embedding", dim: int = SRP_DIM,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP blocking + exact verify."""
+    keys = srp_band_keys_udf(dim)
+    e = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.explode(keys(vec_col)).alias("band_key"),
+    )
+    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band_key")
+    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("cosine", cosine_col("vec_a", "vec_b"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All hot-path math is JVM-side built-ins (split/regexp/aggregate) — these run
+over every document at 100 TB scale, so no Python appears anywhere here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Frozen per-language stopword marker sets for the n-gram/stopword heuristic.
+# Deliberately small + disjoint: the score is the count of marker hits.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "was", "with"],
+    "fr": ["le", "la", "les", "est", "et", "avec"],
+    "es": ["el", "los", "es", "con", "para", "una"],
+    "de": ["der", "die", "das", "ist", "und", "mit"],
+}
+
+
+def tokens_col(text_col: str):
+    """Whitespace tokenization (the cheap path)."""
+    return F.split(F.lower(F.col(text_col)), r"\s+")
+
+
+def bpe_ish_tokens_col(text_col: str):
+    """BPE-ish segmentation: words, numbers, and single punctuation marks as
+    separate tokens (regexp_extract_all, JVM-side)."""
+    return F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), F.lit(0)
+    )
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_ws_tokens", F.size(tokens_col(text_col))).withColumn(
+        "n_bpe_tokens", F.size(bpe_ish_tokens_col(text_col))
+    )
+
+
+def lang_score_col(text_col: str, lang: str):
+    toks = tokens_col(text_col)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of marker-hit counts, deterministic
+    tie-break by language code order, 'und' when nothing matches."""
+    scored = df
+    for lang in sorted(LANG_MARKERS):
+        scored = scored.withColumn(f"_s_{lang}", lang_score_col(text_col, lang))
+    pairs = F.array(
+        *[
+            F.struct(
+                (-F.col(f"_s_{lang}")).alias("neg"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(LANG_MARKERS)
+        ]
+    )
+    best = F.array_min(pairs)
+    out = scored.withColumn(
+        "lang_pred",
+        F.when(-best["neg"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+    return out.drop(*[f"_s_{lang}" for lang in sorted(LANG_MARKERS)])
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features: char length, word count, mean word length,
+    punctuation ratio, stopword ratio, uppercase ratio — the standard
+    cheap pre-training filters, all as exact-arithmetic columns."""
+    toks = tokens_col(text_col)
+    n_chars = F.length(text_col)
+    n_words = F.size(toks)
+    n_punct = n_chars - F.length(
+        F.regexp_replace(F.col(text_col), r"[^\w\s]", "")
+    )
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en, t)))
+    n_upper = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[A-Z]", ""))
+    return (
+        df.withColumn("q_n_chars", n_chars)
+        .withColumn("q_n_words", n_words)
+        .withColumn(
+            "q_mean_word_len",
+            F.when(n_words > 0, F.round(n_chars / n_words, 4)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_punct_ratio",
+            F.when(n_chars > 0, F.round(n_punct / n_chars, 4)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_stopword_ratio",
+            F.when(n_words > 0, F.round(n_stop / n_words, 4)).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "q_upper_ratio",
+            F.when(n_chars > 0, F.round(n_upper / n_chars, 4)).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprints: full-content md5 (engine-portable) plus a
+    shift-invariant rolling fingerprint = min over word-5-gram hashes
+    (winnowing-style), robust to appends/prefix edits."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0)))
+    gram_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, 5)))
+    )
+    return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
+        "fp_rolling_min", F.array_min(gram_hashes)
+    )

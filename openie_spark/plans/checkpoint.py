@@ -1,0 +1,123 @@
+"""Checkpoint / lineage / idempotent resume (OP-05, OP-06, EP-3).
+
+The north rule requires: "writes per-partition lineage + triple-count
+metrics to a checkpoint table so any failed stage resumes idempotently".
+
+Design (format-agnostic through the catalog seam):
+  - work is partitioned by partition_id = pmod(xxhash64(doc_id), n_buckets)
+    — deterministic, data-independent bucketing, so "partition" survives
+    restarts and cluster-size changes;
+  - stage outputs are WRITTEN partitioned by partition_id with dynamic
+    partition-overwrite: a re-executed partition REPLACES its prior output,
+    never duplicates it (exactly-once materialization);
+  - after a successful stage write, one checkpoint row per partition is
+    appended: (run_id, stage, partition_id, status, n_in, n_triples,
+    input_fingerprint, ruleset, wall_ms, ts).  Parquet mode emulates MERGE
+    with append + read-side latest-wins (row_number over ts desc); Iceberg
+    mode uses a real MERGE INTO (catalog.py);
+  - resume (OP-06) anti-joins the input against partitions already 'done'
+    for this (run_id, stage, input_fingerprint, ruleset) — a mismatched
+    fingerprint or ruleset invalidates prior work and forces recompute.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from openie_spark.catalog import ParquetCatalog
+from openie_spark.operators.invariant import span_fingerprint_col
+from openie_spark.spec.rules import RULESET_VERSION
+
+CHECKPOINT_TABLE = "checkpoint"
+
+
+def with_partition_id(docs: DataFrame, n_buckets: int) -> DataFrame:
+    return docs.withColumn(
+        "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
+    )
+
+
+def input_fingerprint(docs: DataFrame) -> str:
+    """Order-insensitive exact fingerprint of (doc_id, span-sequence) —
+    resuming against a changed input is detected, not silently merged."""
+    row = docs.agg(
+        F.count("*").alias("n"),
+        F.sum(
+            F.xxhash64("doc_id", span_fingerprint_col()).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def latest_checkpoint(cat: ParquetCatalog) -> DataFrame | None:
+    """Read-side latest-wins dedup on (run_id, stage, partition_id) — the
+    parquet-mode emulation of Iceberg MERGE (OP-05)."""
+    if not cat.exists(CHECKPOINT_TABLE):
+        return None
+    ck = cat.load_table(CHECKPOINT_TABLE)
+    w = Window.partitionBy("run_id", "stage", "partition_id").orderBy(F.desc("ts"))
+    return ck.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def done_partitions(
+    cat: ParquetCatalog, run_id: str, stage: str, fingerprint: str
+) -> DataFrame | None:
+    ck = latest_checkpoint(cat)
+    if ck is None:
+        return None
+    return ck.where(
+        (F.col("run_id") == run_id)
+        & (F.col("stage") == stage)
+        & (F.col("status") == "done")
+        & (F.col("input_fingerprint") == fingerprint)
+        & (F.col("ruleset") == RULESET_VERSION)
+    ).select("partition_id")
+
+
+def resume_filter(
+    docs_with_pid: DataFrame, cat: ParquetCatalog, run_id: str, stage: str, fingerprint: str
+) -> DataFrame:
+    """OP-06: left-anti join dropping partitions already done."""
+    done = done_partitions(cat, run_id, stage, fingerprint)
+    if done is None:
+        return docs_with_pid
+    return docs_with_pid.join(F.broadcast(done), "partition_id", "left_anti")
+
+
+def record_done(
+    cat: ParquetCatalog,
+    run_id: str,
+    stage: str,
+    fingerprint: str,
+    part_stats: DataFrame,
+    wall_ms: int,
+) -> None:
+    """Append one 'done' row per partition.  part_stats:
+    DataFrame[partition_id:int, n_in:long, n_triples:long]."""
+    rows = part_stats.select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("partition_id").cast("int"),
+        F.lit("done").alias("status"),
+        F.col("n_in").cast("long"),
+        F.col("n_triples").cast("long"),
+        F.lit(fingerprint).alias("input_fingerprint"),
+        F.lit(RULESET_VERSION).alias("ruleset"),
+        F.lit(int(wall_ms)).alias("wall_ms"),
+        F.current_timestamp().alias("ts"),
+    )
+    cat.append_table(rows, CHECKPOINT_TABLE)
+
+
+class StageTimer:
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        self.wall_ms = int((time.monotonic() - self.t0) * 1000)
+        return False

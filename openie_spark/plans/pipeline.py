@@ -1,0 +1,227 @@
+"""EP-1: the full KG-construction pipeline (SURVEY.md §3).
+
+    documents ─ resume-filter ─ salted-repartition ─ extract(UDF) ─ triples
+      triples ─ mentions ─ exact ∪ LSH ∪ mint links
+        links ─ sameAs edges ─ large/small-star CC ─ canonical ids
+          triples ⋈ links (AQE skew + optional salt) ─ edges table
+          nodes  ⋈ canonical                          ─ vertices table
+      + span-sequence invariant check, checkpoint rows, metrics
+
+Graph model: every distinct mention_norm is a node (id = xxhash64(norm));
+every linked dictionary entity is a node (id = entity_id).  sameAs edges
+connect a mention node to its linked dict entity; minted mentions contribute
+self-loops so they survive as isolated vertices.  Connected components then
+canonicalize chains like {typo mention → dict entity ← exact mention} into
+one canonical_id = min(component).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openie_spark.catalog import ParquetCatalog
+from openie_spark.operators.components import connected_components
+from openie_spark.operators.extract import extract_stage, mentions_from_triples
+from openie_spark.operators.invariant import check_span_invariant
+from openie_spark.operators.linking import link_mentions
+from openie_spark.operators.skew import hot_keys, salted_join, salted_repartition
+from openie_spark.plans import checkpoint as ckpt
+from openie_spark.schemas import EDGES_SCHEMA, VERTICES_SCHEMA, assert_schema
+
+
+@dataclass
+class PipelineConfig:
+    run_id: str = "run0"
+    n_buckets: int = 64
+    repartition: int | None = None  # default: spark.sql.shuffle.partitions
+    salt: int = 8
+    hot_share: float = 0.02
+    use_manual_salt: bool = True
+    stages: tuple = ("extract", "link", "canonicalize", "materialize")
+    metrics: dict = field(default_factory=dict)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    alias_dict: DataFrame,
+    cat: ParquetCatalog,
+    cfg: PipelineConfig | None = None,
+) -> dict:
+    cfg = cfg or PipelineConfig()
+    out: dict = {"run_id": cfg.run_id}
+    nparts = cfg.repartition or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    # ---- extract stage (checkpointed, resumable) --------------------------
+    fingerprint = ckpt.input_fingerprint(docs)
+    with_pid = ckpt.with_partition_id(docs, cfg.n_buckets)
+    todo = ckpt.resume_filter(with_pid, cat, cfg.run_id, "extract", fingerprint)
+
+    with ckpt.StageTimer() as t_extract:
+        pending = todo.count()
+        if pending > 0:
+            balanced = salted_repartition(todo, nparts, "doc_id")
+            # partition_id is a pure function of doc_id — recompute, don't join
+            triples = extract_stage(balanced.drop("partition_id")).withColumn(
+                "partition_id",
+                F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets)).cast("int"),
+            )
+            cat.write_table(triples, "triples", partition_by=["partition_id"])
+            stats = (
+                with_pid.groupBy("partition_id")
+                .agg(F.count("*").alias("n_in"))
+                .join(
+                    triples.groupBy("partition_id").agg(
+                        F.count("*").alias("n_triples")
+                    ),
+                    "partition_id",
+                    "left",
+                )
+                .select(
+                    "partition_id",
+                    "n_in",
+                    F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+                )
+            )
+    if pending > 0:
+        ckpt.record_done(
+            cat, cfg.run_id, "extract", fingerprint, stats, t_extract.wall_ms
+        )
+    triples = cat.load_table("triples").drop("partition_id")
+    out["n_triples"] = triples.count()
+    out["extract_wall_ms"] = t_extract.wall_ms
+    out["extract_pending_docs"] = pending
+
+    # ---- invariant gate ----------------------------------------------------
+    inv = check_span_invariant(docs, docs.select("doc_id", "spans"))
+    out["span_invariant"] = inv
+    if not inv["ok"]:
+        raise AssertionError(f"span invariant violated: {inv}")
+    if "link" not in cfg.stages:
+        return out
+
+    # ---- link stage --------------------------------------------------------
+    with ckpt.StageTimer() as t_link:
+        mentions = mentions_from_triples(triples)
+        links = link_mentions(mentions, alias_dict).localCheckpoint(eager=True)
+        cat.write_table(links, "links")
+    out["n_links"] = links.count()
+    out["link_wall_ms"] = t_link.wall_ms
+    if "canonicalize" not in cfg.stages:
+        return out
+
+    # ---- canonicalize ------------------------------------------------------
+    with ckpt.StageTimer() as t_canon:
+        mention_nodes = links.select(
+            F.xxhash64("mention_norm").alias("src"),
+            F.col("entity_id").alias("dst"),
+            "method",
+        )
+        sameas = mention_nodes.where(F.col("method") != "minted").select("src", "dst")
+        self_loops = mention_nodes.where(F.col("method") == "minted").select(
+            F.col("dst").alias("src"), F.col("dst").alias("dst")
+        )
+        cc = connected_components(sameas.unionByName(self_loops))
+        cc = cc.localCheckpoint(eager=True)
+        cat.write_table(cc, "cc_assign")
+    out["n_components"] = cc.select("rep").distinct().count()
+    out["canonicalize_wall_ms"] = t_canon.wall_ms
+    if "materialize" not in cfg.stages:
+        return out
+
+    # ---- materialize vertices + edges ---------------------------------------
+    with ckpt.StageTimer() as t_mat:
+        # node table: mention nodes + dict entity nodes
+        mention_counts = mentions.groupBy("mention_norm").agg(
+            F.count("*").alias("n_mentions")
+        )
+        mention_vertices = (
+            links.join(mention_counts, "mention_norm", "left")
+            .select(
+                F.xxhash64("mention_norm").alias("entity_id"),
+                F.col("mention_norm").alias("name"),
+                F.coalesce("n_mentions", F.lit(0)).alias("n_mentions"),
+            )
+        )
+        dict_vertices = (
+            links.where(F.col("method") != "minted")
+            .join(
+                alias_dict.select("entity_id", "entity_name").dropDuplicates(
+                    ["entity_id"]
+                ),
+                "entity_id",
+            )
+            .select(
+                "entity_id",
+                F.col("entity_name").alias("name"),
+                F.lit(0).cast("long").alias("n_mentions"),
+            )
+            .dropDuplicates(["entity_id"])
+        )
+        nodes = mention_vertices.unionByName(dict_vertices).dropDuplicates(
+            ["entity_id"]
+        )
+        vertices = (
+            nodes.join(cc, nodes.entity_id == cc.id, "left")
+            .select(
+                "entity_id",
+                F.coalesce("rep", F.col("entity_id")).alias("canonical_id"),
+                "name",
+                "n_mentions",
+            )
+        )
+        assert_schema(vertices, VERTICES_SCHEMA, "vertices")
+
+        # triples → canonical edges; mention_norm → node id → canonical id
+        norm_to_canon = links.select(
+            "mention_norm", F.xxhash64("mention_norm").alias("node_id")
+        ).join(cc, F.col("node_id") == cc.id, "left").select(
+            "mention_norm",
+            F.coalesce("rep", F.col("node_id")).alias("canonical_id"),
+        )
+        hot = (
+            hot_keys(
+                triples.select(F.col("subj_norm").alias("k")).unionByName(
+                    triples.select(F.col("arg_norm").alias("k"))
+                ),
+                "k",
+                cfg.hot_share,
+            )
+            if cfg.use_manual_salt
+            else []
+        )
+        t1 = salted_join(
+            triples.withColumnRenamed("subj_norm", "mention_norm"),
+            norm_to_canon.withColumnRenamed("canonical_id", "subj_canonical"),
+            "mention_norm",
+            hot,
+            cfg.salt,
+            salt_src=["doc_id", "sent_idx", "arg"],
+        ).drop("mention_norm")
+        t2 = salted_join(
+            t1.withColumnRenamed("arg_norm", "mention_norm"),
+            norm_to_canon.withColumnRenamed("canonical_id", "obj_canonical"),
+            "mention_norm",
+            hot,
+            cfg.salt,
+            salt_src=["doc_id", "sent_idx", "subj"],
+        ).drop("mention_norm")
+        edges = t2.select(
+            "subj_canonical",
+            F.col("rel").alias("pred"),
+            "obj_canonical",
+            "doc_id",
+            "sent_idx",
+            "conf",
+        )
+        assert_schema(edges, EDGES_SCHEMA, "edges")
+        cat.write_table(vertices, "vertices")
+        cat.write_table(edges, "edges")
+    out["n_vertices"] = cat.load_table("vertices").count()
+    out["n_edges"] = cat.load_table("edges").count()
+    out["n_hot_keys"] = len(hot)
+    out["materialize_wall_ms"] = t_mat.wall_ms
+    return out

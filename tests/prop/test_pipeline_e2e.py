@@ -1,0 +1,138 @@
+"""L3 property tests over the full pipeline: end-to-end run on the golden
+corpus, link-path coverage, canonicalization semantics, resume idempotence
+(L3e), and determinism across parallelism (L3b)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_spark.catalog import ParquetCatalog
+from openie_spark.plans.pipeline import PipelineConfig, run_pipeline
+from openie_spark.sources.tables import load_alias_dict, load_docs
+
+
+@pytest.fixture(scope="module")
+def pipeline_result(spark, golden_docs_path, alias_dict_path, tmp_path_factory):
+    root = tmp_path_factory.mktemp("kg_out")
+    cat = ParquetCatalog(spark, str(root))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+    res = run_pipeline(spark, docs, aliases, cat, PipelineConfig(run_id="e2e"))
+    return res, cat
+
+
+def test_e2e_counts(pipeline_result):
+    res, cat = pipeline_result
+    assert res["n_triples"] > 1000
+    assert res["span_invariant"]["ok"]
+    assert res["n_links"] > 0
+    assert res["n_edges"] == res["n_triples"]
+    assert res["n_vertices"] >= res["n_components"]
+    assert res["n_hot_keys"] >= 1  # zipf corpus must produce a hot key
+
+
+def test_link_methods_all_exercised(pipeline_result):
+    _, cat = pipeline_result
+    methods = {
+        r.method for r in cat.load_table("links").select("method").distinct().collect()
+    }
+    assert methods == {"exact", "lsh", "minted"}
+
+
+def test_canonicalization_merges_exact_and_dict(pipeline_result):
+    """A mention exactly matching a dict alias must share canonical_id with
+    the dict entity node."""
+    _, cat = pipeline_result
+    links = cat.load_table("links").where(F.col("method") == "exact")
+    v = cat.load_table("vertices")
+    joined = (
+        links.select(F.xxhash64("mention_norm").alias("mid"), "entity_id")
+        .join(v.select(F.col("entity_id").alias("mid"), F.col("canonical_id").alias("c1")), "mid")
+        .join(
+            v.select(F.col("entity_id").alias("entity_id"), F.col("canonical_id").alias("c2")),
+            "entity_id",
+        )
+    )
+    assert joined.where(F.col("c1") != F.col("c2")).count() == 0
+    assert joined.count() > 0
+
+
+def test_edges_reference_vertices(pipeline_result):
+    _, cat = pipeline_result
+    e = cat.load_table("edges")
+    v = cat.load_table("vertices").select("canonical_id").distinct()
+    dangling = (
+        e.select(F.col("subj_canonical").alias("canonical_id"))
+        .unionByName(e.select(F.col("obj_canonical").alias("canonical_id")))
+        .distinct()
+        .join(v, "canonical_id", "left_anti")
+    )
+    assert dangling.count() == 0
+
+
+def test_resume_idempotent(spark, golden_docs_path, alias_dict_path, tmp_path):
+    """L3e: run extract, then re-run same run_id — nothing recomputes and
+    output is byte-identical; a changed fingerprint forces recompute."""
+    cat = ParquetCatalog(spark, str(tmp_path / "kg"))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+    cfg = PipelineConfig(run_id="resume-test", stages=("extract",))
+
+    r1 = run_pipeline(spark, docs, aliases, cat, cfg)
+    t1 = sorted(map(tuple, cat.load_table("triples").collect()))
+    assert r1["extract_pending_docs"] > 0
+
+    r2 = run_pipeline(spark, docs, aliases, cat, cfg)
+    assert r2["extract_pending_docs"] == 0  # everything checkpointed 'done'
+    t2 = sorted(map(tuple, cat.load_table("triples").collect()))
+    assert t1 == t2
+
+    # different input (subset) → fingerprint mismatch → full recompute
+    docs_subset = docs.where(F.col("doc_id") < "g00400")
+    r3 = run_pipeline(spark, docs_subset, aliases, cat, cfg)
+    assert r3["extract_pending_docs"] > 0
+
+
+def test_partial_resume_only_missing_partitions(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """Seed a checkpoint marking a strict subset done; resume must process
+    only the remaining partitions and the final triples must equal an
+    uninterrupted run."""
+    from openie_spark.plans import checkpoint as ckpt
+
+    cat_full = ParquetCatalog(spark, str(tmp_path / "full"))
+    cat_part = ParquetCatalog(spark, str(tmp_path / "part"))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+
+    run_pipeline(
+        spark, docs, aliases, cat_full, PipelineConfig(run_id="u", stages=("extract",))
+    )
+    full = sorted(map(tuple, cat_full.load_table("triples").drop("partition_id").collect()))
+
+    # interrupted run: process only partitions 0..31 of 64, record them done
+    fp = ckpt.input_fingerprint(docs)
+    with_pid = ckpt.with_partition_id(docs, 64)
+    first_half = with_pid.where(F.col("partition_id") < 32)
+    from openie_spark.operators.extract import extract_stage
+
+    half_triples = extract_stage(first_half.drop("partition_id")).withColumn(
+        "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+    )
+    cat_part.write_table(half_triples, "triples", partition_by=["partition_id"])
+    stats = first_half.groupBy("partition_id").agg(F.count("*").alias("n_in")).select(
+        "partition_id", "n_in", F.lit(0).cast("long").alias("n_triples")
+    )
+    ckpt.record_done(cat_part, "v", "extract", fp, stats, 0)
+
+    res = run_pipeline(
+        spark, docs, aliases, cat_part, PipelineConfig(run_id="v", stages=("extract",))
+    )
+    n_second_half = with_pid.where(F.col("partition_id") >= 32).count()
+    assert res["extract_pending_docs"] == n_second_half  # only the missing half
+    resumed = sorted(
+        map(tuple, cat_part.load_table("triples").drop("partition_id").collect())
+    )
+    assert resumed == full
