@@ -1,0 +1,179 @@
+#!/usr/bin/env python
+"""Headline benchmark (driver-run per round; see BASELINE.md).
+
+Runs the engine's headline operators at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Two workload families:
+
+  * KG construction (the north-star pipeline): fused extraction UDF over a
+    deterministic golden-grammar corpus scaled with sf (cached under
+    .fixtures), then the full extract→link→canonicalize→materialize pipeline.
+    Reported alongside as docs/sec + triples/sec — the BASELINE.json metric.
+  * Relational / training-data operators over the driver parquet tables:
+    aggregation, joins, window ranking, MinHash + SimHash dedup, brute-force
+    ANN, text quality.
+
+Execution is forced with the `noop` datasource writer (full materialization,
+no driver-side collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+
+def sf_of(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. "sf0.1"
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.0
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    from openie_spark.fixtures import store
+    from openie_spark.fixtures.entities import alias_rows
+    from openie_spark.fixtures.gen_golden import golden_docs
+    from openie_spark.session import get_spark
+    from openie_spark.sources.tables import load_alias_dict, load_docs
+    from tests.conftest import ALIAS_PA
+
+    # deterministic KG bench corpus, scaled with sf, cached as parquet
+    n_docs = max(2000, int(100_000 * sf))
+    docs_path = store.ensure(
+        f"bench_docs_{n_docs}",
+        lambda p: store.write_docs(golden_docs(n_docs=n_docs), p),
+    )
+    alias_path = store.ensure(
+        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
+    )
+
+    spark = get_spark(app="openie-bench", master=f"local[{cpus}]",
+                      shuffle_partitions=2 * cpus,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pyspark.sql import functions as F
+
+    from openie_spark.catalog import ParquetCatalog
+    from openie_spark.operators.dedup import minhash_dup_pairs, simhash_dup_pairs
+    from openie_spark.operators.extract import extract_stage
+    from openie_spark.operators.similarity import brute_force_topk
+    from openie_spark.operators.text_analysis import (
+        with_lang_id,
+        with_quality,
+        with_token_counts,
+    )
+    from openie_spark.plans import registry
+    from openie_spark.plans.pipeline import PipelineConfig, run_pipeline
+
+    docs = load_docs(spark, docs_path)
+    aliases = load_alias_dict(spark, alias_path)
+    documents = spark.read.parquet(str(Path(sf_dir) / "documents.parquet"))
+    embeddings = spark.read.parquet(str(Path(sf_dir) / "embeddings.parquet"))
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # -- warm the JVM + Python workers once (not timed) ---------------------
+    force(docs.limit(64).select("doc_id", F.explode(
+        F.filter("spans", lambda s: s["kind"] == F.lit("text"))).alias("s")))
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # -- KG construction headline ------------------------------------------
+    n_triples = 0
+
+    def run_extract():
+        nonlocal n_triples
+        n_triples = extract_stage(docs).count()
+
+    timed("kg_extract", run_extract)
+    extras["bench_docs"] = n_docs
+    extras["bench_triples"] = n_triples
+    extras["docs_per_sec"] = round(n_docs / timings["kg_extract"], 1)
+    extras["triples_per_sec"] = round(n_triples / timings["kg_extract"], 1)
+
+    out_dir = tempfile.mkdtemp(prefix="openie-bench-")
+    try:
+        timed(
+            "kg_pipeline",
+            lambda: run_pipeline(
+                spark, docs, aliases, ParquetCatalog(spark, out_dir),
+                PipelineConfig(run_id="bench"),
+            ),
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # -- relational operators over driver tables ----------------------------
+    timed("pricing_summary", lambda: force(registry.q_pricing_summary(spark, sf_dir)))
+    timed("segment_revenue", lambda: force(registry.q_segment_revenue(spark, sf_dir)))
+    timed("latest_order", lambda: force(registry.q_latest_order(spark, sf_dir)))
+    timed("events_hourly", lambda: force(registry.q_events_hourly(spark, sf_dir)))
+
+    # -- training-data operators -------------------------------------------
+    timed(
+        "minhash_dedup",
+        lambda: force(minhash_dup_pairs(documents, "doc_id", "text", 0.8)),
+    )
+    timed(
+        "simhash_dedup",
+        lambda: force(simhash_dup_pairs(documents, "doc_id", "text")),
+    )
+    probes = embeddings.where(F.col("vec_id") % 100 == 0)
+    timed(
+        "ann_topk_brute",
+        lambda: force(brute_force_topk(embeddings, probes, k=5)),
+    )
+    timed(
+        "text_quality",
+        lambda: force(
+            with_token_counts(with_quality(with_lang_id(documents)))
+        ),
+    )
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
