@@ -377,6 +377,221 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 0 ORDER BY keeper_doc_id
 
 
 # --------------------------------------------------------------------------
+# Training-data operators: dedup / similarity / text analysis (SQL-checked)
+# --------------------------------------------------------------------------
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (token-set) Jaccard dedup pairs via the postings-join
+    pattern (dedup.py) — restricted to a 10% doc sample because the driver
+    corpus is small-vocabulary bag-of-words (every doc shares tokens)."""
+    from openie_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
+    return ngram_jaccard_pairs(d, "doc_id", "text", 0.5).orderBy("id_a", "id_b")
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(string_split_regex(lower(text), '\s+'))) AS tok
+  FROM d
+),
+toks2 AS (SELECT id, tok FROM toks WHERE tok <> ''),
+sizes AS (SELECT id, COUNT(*) AS n FROM toks2 GROUP BY id),
+common AS (
+  SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+  FROM toks2 a JOIN toks2 b USING (tok)
+  WHERE a.id < b.id GROUP BY 1, 2
+)
+SELECT id_a, id_b, n_common,
+       CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) AS jaccard
+FROM common
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (text_analysis.py): marker-hit argmax with
+    deterministic alphabetical tie-break, rolled up per (lang, lang_pred)."""
+    from openie_spark.operators.text_analysis import with_lang_id
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        with_lang_id(d)
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_id_sql() -> str:
+    from openie_spark.operators.text_analysis import LANG_MARKERS
+
+    scores = ",\n  ".join(
+        "len(list_filter(string_split_regex(lower(text), '\\s+'), "
+        f"t -> list_contains({LANG_MARKERS[lang]!r}, t))) AS s_{lang}"
+        for lang in sorted(LANG_MARKERS)
+    )
+    # argmax with the same tie-break as Spark's array_min over (neg, lang):
+    # highest score wins, ties go to the alphabetically-first language
+    cases = "\n      ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(LANG_MARKERS)
+    )
+    return f"""
+WITH scored AS (
+  SELECT lang,
+  {scores}
+  FROM documents
+),
+best AS (
+  SELECT lang, greatest(s_de, s_en, s_es, s_fr) AS mx, s_de, s_en, s_es, s_fr
+  FROM scored
+),
+pred AS (
+  SELECT lang,
+    CASE WHEN mx = 0 THEN 'und'
+      {cases}
+    END AS lang_pred
+  FROM best
+)
+SELECT lang, lang_pred, COUNT(*) AS n FROM pred
+GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+SQL_LANG_ID = _lang_id_sql()
+
+
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (text_analysis.py): per-lang rollup of the cheap
+    pre-training filters; doubles only cross engines as integer-safe counts
+    or comparisons against rounded 4-decimal ratios."""
+    from openie_spark.operators.text_analysis import with_quality
+
+    d = with_quality(load(spark, sf_dir, "documents"))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q_n_chars").alias("sum_chars"),
+            F.sum("q_n_words").alias("sum_words"),
+            F.sum((F.col("q_punct_ratio") > 0.05).cast("bigint")).alias(
+                "n_high_punct"
+            ),
+            F.sum((F.col("q_stopword_ratio") < 0.1).cast("bigint")).alias(
+                "n_low_stop"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_QUALITY_SCORES = r"""
+WITH q AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(text), '\s+')) AS n_words,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct,
+         len(list_filter(string_split_regex(lower(text), '\s+'),
+             t -> list_contains(['the','and','of','is','was','with'], t))) AS n_stop
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       CAST(SUM(n_words) AS BIGINT) AS sum_words,
+       CAST(SUM(CASE WHEN n_chars > 0 AND ROUND(CAST(n_punct AS DOUBLE)/n_chars, 4) > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_punct,
+       CAST(SUM(CASE WHEN n_words = 0 OR ROUND(CAST(n_stop AS DOUBLE)/n_words, 4) < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_stop
+FROM q GROUP BY lang ORDER BY lang
+"""
+
+
+def q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-column hygiene stats, all JVM-side higher-order array fns;
+    element sums cross engines as exact milli-unit bigints."""
+    e = load(spark, sf_dir, "embeddings")
+    milli = F.transform(
+        "embedding", lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+    return (
+        e.groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.size("embedding")).alias("dim_min"),
+            F.max(F.size("embedding")).alias("dim_max"),
+            F.sum(
+                F.aggregate(milli, F.lit(0).cast("bigint"), lambda a, v: a + v)
+            ).alias("sum_milli"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_STATS = """
+SELECT label, COUNT(*) AS n,
+       MIN(len(embedding)) AS dim_min,
+       MAX(len(embedding)) AS dim_max,
+       CAST(SUM(list_sum(list_transform(embedding,
+            x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS sum_milli
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline (similarity.py kernel): probe
+    set broadcast against the corpus scan, cosine quantized to micro-units
+    so ranking is integer-exact across engines."""
+    from openie_spark.operators.similarity import cosine_col
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("q_vec")
+    )
+    c = e.select(F.col("vec_id").alias("neighbor_id"), F.col("vec").alias("c_vec"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cos_micro",
+            F.round(cosine_col("q_vec", "c_vec") * 1e6).cast("bigint"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_micro"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "rnk", "cos_micro")
+        .orderBy("query_id", "rnk")
+    )
+
+
+SQL_ANN_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS q_vec FROM e WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         CAST(ROUND(list_cosine_similarity(q_vec, c.vec) * 1000000) AS BIGINT) AS cos_micro
+  FROM e c CROSS JOIN q WHERE c.vec_id <> query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY cos_micro DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, rnk, cos_micro FROM r WHERE rnk <= 5
+ORDER BY query_id, rnk
+"""
+
+
+# --------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check; gated by pytest L2/L3)
 # --------------------------------------------------------------------------
 
@@ -404,6 +619,94 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs over the documents table (word
+    3-gram shingles → 64-perm signatures → 16x4 band bucket join → exact
+    Jaccard verify at 0.8).  Probabilistic blocking → rows-only driver
+    check; the recall/agreement gate is tests/unit/test_dedup.py."""
+    from openie_spark.operators.dedup import minhash_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_dup_pairs(d, "doc_id", "text", 0.8).orderBy("id_a", "id_b")
+
+
+def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (64-bit, Hamming ≤ 3 via pigeonhole chunk
+    join).  Hash family not expressible in DuckDB → rows-only."""
+    from openie_spark.operators.dedup import simhash_dup_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_dup_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def q_ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed approximate top-k (similarity.py scale path).
+    Approximate by construction → rows-only; recall gate in
+    tests/unit/test_similarity.py."""
+    from openie_spark.operators.similarity import srp_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0)
+    return srp_topk(e, probes, k=5).orderBy("query_id", "rank")
+
+
+def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via SRP blocking + exact
+    verify (threshold 0.95) — rows-only (approximate blocking)."""
+    from openie_spark.operators.similarity import cosine_near_dup_pairs
+
+    e = load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, 0.95).orderBy("id_a", "id_b")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full-content md5 + shift-invariant rolling
+    min-hash over word 5-grams (xxhash64 — no DuckDB equivalent → rows-only)."""
+    from openie_spark.operators.text_analysis import with_fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return with_fingerprint(d).select(
+        "doc_id", "fp_md5", "fp_rolling_min"
+    ).orderBy("doc_id")
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal path: explode media spans → fetch(stub) → mapInPandas
+    decode/feature batches (multimodal.py).  Decode kernels are stubs, the
+    Spark plumbing (schema, batching, posexplode provenance) is real."""
+    from openie_spark.operators.multimodal import media_feature_stage
+
+    return media_feature_stage(_docs(spark, sf_dir)).orderBy("doc_id", "span_pos")
+
+
+def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-30..35: exact broadcast join ∪ MinHash-LSH ∪ minting over the
+    extraction mentions, against the frozen alias-dict fixture."""
+    from openie_spark.fixtures.entities import alias_rows
+    from openie_spark.operators.linking import link_mentions
+    from openie_spark.sources.tables import load_alias_dict
+    from tests.conftest import ALIAS_PA
+
+    alias_path = store.ensure(
+        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
+    )
+    mentions = mentions_from_triples(extract_stage(_docs(spark, sf_dir)))
+    return link_mentions(mentions, load_alias_dict(spark, alias_path)).orderBy(
+        "mention_norm"
+    )
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-40..44: large-star/small-star CC over the deterministic fixture
+    graphs (chain + cliques + star w/ isolated nodes)."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.components import connected_components
+
+    edges, _expected = all_graphs()
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    return connected_components(df).orderBy("id")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -417,6 +720,19 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "doc_tokens": q_doc_tokens,
     "exact_dedup": q_exact_dedup,
+    "ngram_jaccard": q_ngram_jaccard,
+    "lang_id": q_lang_id,
+    "quality_scores": q_quality_scores,
+    "embedding_stats": q_embedding_stats,
+    "ann_topk": q_ann_topk,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_dedup": q_simhash_dedup,
+    "ann_topk_srp": q_ann_topk_srp,
+    "cosine_near_dup": q_cosine_near_dup,
+    "doc_fingerprint": q_doc_fingerprint,
+    "media_features": q_media_features,
+    "entity_links": q_entity_links,
+    "connected_components": q_connected_components,
     "extract_triples": q_extract_triples,
     "mentions": q_mentions,
     "span_invariant": q_span_invariant,
@@ -435,4 +751,9 @@ ORACLE_SQL = {
     "nation_set_ops": SQL_NATION_SET_OPS,
     "doc_tokens": SQL_DOC_TOKENS,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "lang_id": SQL_LANG_ID,
+    "quality_scores": SQL_QUALITY_SCORES,
+    "embedding_stats": SQL_EMBEDDING_STATS,
+    "ann_topk": SQL_ANN_TOPK,
 }

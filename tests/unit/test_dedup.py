@@ -1,0 +1,99 @@
+"""L1 unit tests for the deduplication suite (operators/dedup.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the old river bank today"
+NEAR = BASE.replace("lazy", "sleepy")  # one token changed → high jaccard
+OTHER = "completely different content about spark shuffle partitions and arrow batches"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),        # exact dup of 1
+        (3, NEAR),        # near dup of 1/2
+        (4, OTHER),
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def _shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.lower().split()
+    if len(toks) <= n:
+        return {" ".join(toks[:n])}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _jacc(a: str, b: str) -> float:
+    sa, sb = _shingles(a), _shingles(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_exact_dedup_groups(spark, corpus):
+    rows = {r["keeper_id"]: r for r in exact_dedup(corpus, "doc_id", "text").collect()}
+    assert rows[1]["group_size"] == 2 and rows[1]["members"] == [1, 2]
+    assert rows[3]["group_size"] == 1
+    assert rows[4]["group_size"] == 1
+
+
+def test_minhash_pairs_match_bruteforce(spark, corpus):
+    """Every emitted pair carries the exact shingle-Jaccard; the exact dup
+    pair (identical shingle sets → identical signatures → same buckets)
+    is guaranteed to be found."""
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_dup_pairs(corpus, "doc_id", "text", 0.6).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    texts = {1: BASE, 2: BASE, 3: NEAR, 4: OTHER, 5: "tiny"}
+    for (a, b), j in got.items():
+        assert j == pytest.approx(_jacc(texts[a], texts[b]))
+        assert j >= 0.6
+    assert (1, 4) not in got and (2, 4) not in got
+
+
+def test_simhash_identical_docs_hamming_zero(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_dup_pairs(corpus, "doc_id", "text").collect()
+    }
+    assert got[(1, 2)] == 0
+    # unrelated docs must not appear within Hamming<=3
+    assert (1, 4) not in got
+
+
+def test_ngram_jaccard_exact(spark, corpus):
+    got = {
+        (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", 0.5).collect()
+    }
+
+    def tokset(t):
+        return {x for x in t.lower().split() if x}
+
+    texts = {1: BASE, 2: BASE, 3: NEAR, 4: OTHER, 5: "tiny"}
+    for (a, b), (n_common, j) in got.items():
+        sa, sb = tokset(texts[a]), tokset(texts[b])
+        assert n_common == len(sa & sb)
+        assert j == pytest.approx(len(sa & sb) / len(sa | sb))
+    assert (1, 2) in got and got[(1, 2)][1] == 1.0
+    assert (1, 3) in got  # one-token edit keeps token-set jaccard >= 0.5
+
+
+def test_minhash_scale_shape(spark, corpus):
+    """The LSH plan must be a band-key equi-join, not a cross product."""
+    plan = minhash_dup_pairs(corpus, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -1,0 +1,92 @@
+"""L1 unit tests for similarity search (operators/similarity.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, IntegerType, LongType, StructField, StructType
+
+from openie_spark.operators.similarity import (
+    SRP_DIM,
+    brute_force_topk,
+    cosine_near_dup_pairs,
+    srp_topk,
+)
+
+N, DIM, K = 60, 16, 5
+
+EMB_SCHEMA = StructType(
+    [
+        StructField("vec_id", LongType(), False),
+        StructField("embedding", ArrayType(FloatType(), False), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vectors() -> np.ndarray:
+    rng = np.random.default_rng(7)
+    v = rng.standard_normal((N, DIM)).astype(np.float32)
+    v[1] = v[0]  # planted exact duplicate pair (0, 1)
+    v[2] = v[0] + np.float32(0.01) * rng.standard_normal(DIM).astype(np.float32)
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb(spark, vectors):
+    rows = [(i, [float(x) for x in vectors[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def _np_topk(vectors: np.ndarray, qi: int, k: int) -> list[int]:
+    v = vectors.astype(np.float64)
+    sims = v @ v[qi] / (np.linalg.norm(v, axis=1) * np.linalg.norm(v[qi]))
+    order = sorted((i for i in range(N) if i != qi), key=lambda i: (-sims[i], i))
+    return order[:k]
+
+
+def test_brute_force_matches_numpy(spark, emb, vectors):
+    probes = emb.where(F.col("vec_id").isin([0, 7, 23]))
+    got = (
+        brute_force_topk(emb, probes, k=K)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    by_q: dict[int, list[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    for qi in (0, 7, 23):
+        assert by_q[qi] == _np_topk(vectors, qi, K)
+
+
+def test_brute_force_plan_is_broadcast(spark, emb):
+    probes = emb.where(F.col("vec_id") == 0)
+    plan = brute_force_topk(emb, probes)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan  # probe set broadcast, corpus scanned once
+    assert "SortMergeJoin" not in plan
+
+
+def test_srp_finds_planted_duplicates(spark, emb):
+    """Identical vectors share every SRP bucket → the duplicate must be
+    retrieved as the top-1 neighbor; the 1%-perturbed copy should appear
+    in the candidate top-k too (sign bits nearly identical)."""
+    probes = emb.where(F.col("vec_id") == 0)
+    got = srp_topk(emb, probes, k=K, dim=DIM).orderBy("rank").collect()
+    assert got[0]["neighbor_id"] == 1
+    assert got[0]["cosine"] == pytest.approx(1.0)
+    assert 2 in [r["neighbor_id"] for r in got]
+
+
+def test_cosine_near_dup_pairs(spark, emb):
+    got = {(r["id_a"], r["id_b"]): r["cosine"] for r in
+           cosine_near_dup_pairs(emb, 0.95, dim=DIM).collect()}
+    assert (0, 1) in got and got[(0, 1)] == pytest.approx(1.0)
+    assert (0, 2) in got  # 1% perturbation keeps cosine > 0.95
+    for (a, b), c in got.items():
+        assert c >= 0.95 and a < b
+
+
+def test_srp_default_dim_matches_driver_table(spark):
+    """The frozen default SRP_DIM must match the driver embeddings table."""
+    assert SRP_DIM == 64

@@ -1,0 +1,90 @@
+"""L1 unit tests for text analysis (operators/text_analysis.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openie_spark.operators.text_analysis import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the cat and the dog is with us"),          # en markers x5
+        (2, "le chat est avec la maison et les arbres"), # fr markers
+        (3, "der hund ist und das haus mit garten"),     # de markers
+        (4, "zzz qqq www"),                              # no markers → und
+        (5, ""),                                         # empty text
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "fr"
+    assert got[3] == "de"
+    assert got[4] == "und"
+    assert got[5] == "und"
+
+
+def test_token_counts(spark, docs):
+    got = {r["doc_id"]: r for r in with_token_counts(docs).collect()}
+    assert got[1]["n_ws_tokens"] == 8
+    # bpe-ish tokens on punctuation-free text equal word count
+    assert got[1]["n_bpe_tokens"] == 8
+
+
+def test_bpe_ish_splits_punct(spark):
+    df = spark.createDataFrame([(1, "it's 2026, ok!")], "doc_id bigint, text string")
+    r = with_token_counts(df).collect()[0]
+    # it ' s 2026 , ok !  → 7 bpe-ish tokens, 3 whitespace tokens
+    assert r["n_ws_tokens"] == 3
+    assert r["n_bpe_tokens"] == 7
+
+
+def test_quality_features_exact(spark):
+    text = "The cat, the dog!"  # 17 chars, 4 words, 2 punct, 2 'the', 1 upper
+    df = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    r = with_quality(df).collect()[0]
+    assert r["q_n_chars"] == 17
+    assert r["q_n_words"] == 4
+    assert r["q_mean_word_len"] == pytest.approx(round(17 / 4, 4))
+    assert r["q_punct_ratio"] == pytest.approx(round(2 / 17, 4))
+    assert r["q_stopword_ratio"] == pytest.approx(round(2 / 4, 4))
+    assert r["q_upper_ratio"] == pytest.approx(round(1 / 17, 4))
+
+
+def test_quality_empty_text(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id bigint, text string")
+    r = with_quality(df).collect()[0]
+    assert r["q_n_chars"] == 0
+    assert r["q_punct_ratio"] == 0.0
+
+
+def test_fingerprint_dup_detection(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(1, a), (2, a), (3, "prefix words here now then " + a)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r["doc_id"]: r for r in with_fingerprint(df).collect()}
+    # identical content → identical fingerprints (both kinds)
+    assert got[1]["fp_md5"] == got[2]["fp_md5"]
+    assert got[1]["fp_rolling_min"] == got[2]["fp_rolling_min"]
+    # prefix edit breaks md5 but the rolling min only moves down (superset
+    # of 5-grams) — the shift-invariance property winnowing relies on
+    assert got[3]["fp_md5"] != got[1]["fp_md5"]
+    assert got[3]["fp_rolling_min"] <= got[1]["fp_rolling_min"]
+
+
+def test_all_jvm_side(spark, docs):
+    """No Python UDF may appear anywhere in these plans (100 TB hot path)."""
+    for fn in (with_lang_id, with_quality, with_token_counts, with_fingerprint):
+        plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
