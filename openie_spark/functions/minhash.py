@@ -92,6 +92,103 @@ def band_keys_for(s: str) -> list[int]:
     return band_keys(signature(shingles(s)))
 
 
+# ---------------------------------------------------------------------------
+# Vectorized batch path (bit-identical to the scalar path above; the scalar
+# path stays as the oracle reference and the batch path is asserted equal in
+# tests/unit/test_minhash_batch.py).  Used by the pandas UDFs so signature
+# cost is numpy-vectorized across a whole Arrow batch instead of per-row
+# Python — this is the 100 TB hot path for both entity linking and
+# document-level MinHash dedup.
+# ---------------------------------------------------------------------------
+
+_MASK32 = np.uint64(0xFFFFFFFF)
+_P64 = np.uint64(P)
+
+
+def _mulmod_p(a: int, x: np.ndarray) -> np.ndarray:
+    """Exact (a * x) mod p for p = 2^61-1, vectorized over uint64 x < p.
+
+    Splits both operands into 32-bit halves so every partial product fits
+    in uint64, then reduces with 2^61 ≡ 1 (mod p):
+      a*x = hh·2^64 + mid·2^32 + ll
+      hh·2^64 ≡ hh·8;  mid·2^32 ≡ (mid >> 29) + (mid & (2^29-1))·2^32;
+      ll ≡ (ll >> 61) + (ll & (2^61-1)).
+    """
+    a_hi = np.uint64(a >> 32)
+    a_lo = np.uint64(a & 0xFFFFFFFF)
+    x_hi = x >> np.uint64(32)
+    x_lo = x & _MASK32
+    hh = a_hi * x_hi                      # < 2^58
+    mid = a_hi * x_lo + a_lo * x_hi       # < 2^62
+    ll = a_lo * x_lo                      # < 2^64 (wraps nothing: fits)
+    t = hh * np.uint64(8)
+    t = (t >> np.uint64(61)) + (t & _P64)
+    m = (mid >> np.uint64(29)) + ((mid & np.uint64((1 << 29) - 1)) << np.uint64(32))
+    l = (ll >> np.uint64(61)) + (ll & _P64)
+    s = t + m + l                          # < 5·2^61, fits uint64
+    s = (s >> np.uint64(61)) + (s & _P64)
+    s = np.where(s >= _P64, s - _P64, s)
+    return s
+
+
+def signatures_batch(shingle_lists: list[list[str]]) -> np.ndarray:
+    """(n, K) uint64 signatures for a batch of shingle lists; row of p for
+    empty inputs — bit-identical to ``signature`` applied per row."""
+    n = len(shingle_lists)
+    out = np.full((n, K), P, dtype=np.uint64)
+    cache: dict[str, int] = {}
+    hashes: list[int] = []
+    starts: list[int] = []
+    rows: list[int] = []
+    pos = 0
+    for r, lst in enumerate(shingle_lists):
+        if not lst:
+            continue
+        starts.append(pos)
+        rows.append(r)
+        for sh in lst:
+            h = cache.get(sh)
+            if h is None:
+                h = _base_hash(sh) % P
+                cache[sh] = h
+            hashes.append(h)
+        pos += len(lst)
+    if not rows:
+        return out
+    x = np.array(hashes, dtype=np.uint64)
+    starts_a = np.array(starts, dtype=np.int64)
+    rows_a = np.array(rows, dtype=np.int64)
+    for i in range(K):
+        y = _mulmod_p(int(_A[i]), x) + _B[i]
+        y = np.where(y >= _P64, y - _P64, y)
+        out[rows_a, i] = np.minimum.reduceat(y, starts_a)
+    return out
+
+
+def band_keys_batch(sigs: np.ndarray) -> list[list[int]]:
+    """Band keys for an (n, K) signature matrix; row-wise identical to
+    ``band_keys``."""
+    prefixes = [b.to_bytes(2, "big") for b in range(BANDS)]
+    out: list[list[int]] = []
+    for row in sigs:
+        keys = []
+        for b in range(BANDS):
+            h = hashlib.blake2b(digest_size=8)
+            h.update(prefixes[b])
+            h.update(row[b * ROWS : (b + 1) * ROWS].tobytes())
+            keys.append(int.from_bytes(h.digest(), "big", signed=False) - (1 << 63))
+        out.append(keys)
+    return out
+
+
+def band_keys_for_batch(norms: list[str | None]) -> list[list[int]]:
+    """Vectorized ``band_keys_for`` over a batch of mention strings."""
+    lists = [shingles(s) if s else [] for s in norms]
+    sigs = signatures_batch(lists)
+    keys = band_keys_batch(sigs)
+    return [k if lst else [] for k, lst in zip(keys, lists)]
+
+
 def jaccard(a: list[str], b: list[str]) -> float:
     sa, sb = set(a), set(b)
     if not sa and not sb:

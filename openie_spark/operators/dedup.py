@@ -50,8 +50,14 @@ def word_shingles_col(text_col: str, n: int = 3):
 
 @pandas_udf(ArrayType(LongType()))
 def _doc_band_keys_udf(shingle_arrays: pd.Series) -> pd.Series:
-    return shingle_arrays.map(
-        lambda arr: mh.band_keys(mh.signature(list(arr))) if arr is not None and len(arr) else []
+    """Doc-level MinHash band keys, numpy-vectorized across the Arrow batch
+    (the 100 TB dedup hot path; bit-identical to the scalar path)."""
+    lists = [list(a) if a is not None else [] for a in shingle_arrays]
+    sigs = mh.signatures_batch(lists)
+    keys = mh.band_keys_batch(sigs)
+    return pd.Series(
+        [k if lst else [] for k, lst in zip(keys, lists)],
+        index=shingle_arrays.index,
     )
 
 

@@ -40,6 +40,7 @@ class PipelineConfig:
     salt: int = 8
     hot_share: float = 0.02
     use_manual_salt: bool = True
+    collect_counts: bool = True  # False: skip informational count() actions
     stages: tuple = ("extract", "link", "canonicalize", "materialize")
     metrics: dict = field(default_factory=dict)
 
@@ -69,7 +70,12 @@ def run_pipeline(
                 "partition_id",
                 F.pmod(F.xxhash64("doc_id"), F.lit(cfg.n_buckets)).cast("int"),
             )
-            cat.write_table(triples, "triples", partition_by=["partition_id"])
+            # cluster rows by bucket before the partitioned write: without
+            # this every write task touches every partition dir and the file
+            # count explodes with core count (tasks × buckets tiny files —
+            # measurably worse at higher parallelism AND at 1000 executors)
+            triples_out = triples.repartition(cfg.n_buckets, "partition_id")
+            cat.write_table(triples_out, "triples", partition_by=["partition_id"])
             stats = (
                 with_pid.groupBy("partition_id")
                 .agg(F.count("*").alias("n_in"))
@@ -91,7 +97,8 @@ def run_pipeline(
             cat, cfg.run_id, "extract", fingerprint, stats, t_extract.wall_ms
         )
     triples = cat.load_table("triples").drop("partition_id")
-    out["n_triples"] = triples.count()
+    if cfg.collect_counts:
+        out["n_triples"] = triples.count()
     out["extract_wall_ms"] = t_extract.wall_ms
     out["extract_pending_docs"] = pending
 
@@ -108,7 +115,8 @@ def run_pipeline(
         mentions = mentions_from_triples(triples)
         links = link_mentions(mentions, alias_dict).localCheckpoint(eager=True)
         cat.write_table(links, "links")
-    out["n_links"] = links.count()
+    if cfg.collect_counts:
+        out["n_links"] = links.count()
     out["link_wall_ms"] = t_link.wall_ms
     if "canonicalize" not in cfg.stages:
         return out
@@ -127,7 +135,8 @@ def run_pipeline(
         cc = connected_components(sameas.unionByName(self_loops))
         cc = cc.localCheckpoint(eager=True)
         cat.write_table(cc, "cc_assign")
-    out["n_components"] = cc.select("rep").distinct().count()
+    if cfg.collect_counts:
+        out["n_components"] = cc.select("rep").distinct().count()
     out["canonicalize_wall_ms"] = t_canon.wall_ms
     if "materialize" not in cfg.stages:
         return out
@@ -220,8 +229,9 @@ def run_pipeline(
         assert_schema(edges, EDGES_SCHEMA, "edges")
         cat.write_table(vertices, "vertices")
         cat.write_table(edges, "edges")
-    out["n_vertices"] = cat.load_table("vertices").count()
-    out["n_edges"] = cat.load_table("edges").count()
+    if cfg.collect_counts:
+        out["n_vertices"] = cat.load_table("vertices").count()
+        out["n_edges"] = cat.load_table("edges").count()
     out["n_hot_keys"] = len(hot)
     out["materialize_wall_ms"] = t_mat.wall_ms
     return out

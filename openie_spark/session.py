@@ -32,6 +32,10 @@ def get_spark(
         .master(master)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # parallelismFirst deliberately left at its default (true): measured
+        # here, size-based coalescing (false + 64m advisory) serializes the
+        # LSH/jaccard stages — compute-heavy per byte, so byte-size advisory
+        # under-parallelizes them (link stage 12s → 32s at local[8])
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
