@@ -41,6 +41,7 @@ class PipelineConfig:
     hot_share: float = 0.02
     use_manual_salt: bool = True
     collect_counts: bool = True  # False: skip informational count() actions
+    check_invariant: bool = True  # in-run span-sequence gate (OP-25)
     stages: tuple = ("extract", "link", "canonicalize", "materialize")
     metrics: dict = field(default_factory=dict)
 
@@ -76,13 +77,16 @@ def run_pipeline(
             # measurably worse at higher parallelism AND at 1000 executors)
             triples_out = triples.repartition(cfg.n_buckets, "partition_id")
             cat.write_table(triples_out, "triples", partition_by=["partition_id"])
+            # per-partition metrics from the WRITTEN table — recomputing
+            # `triples` here would re-run the whole extraction UDF a second
+            # time (DataFrame actions do not reuse shuffle/UDF work)
             stats = (
                 with_pid.groupBy("partition_id")
                 .agg(F.count("*").alias("n_in"))
                 .join(
-                    triples.groupBy("partition_id").agg(
-                        F.count("*").alias("n_triples")
-                    ),
+                    cat.load_table("triples")
+                    .groupBy("partition_id")
+                    .agg(F.count("*").alias("n_triples")),
                     "partition_id",
                     "left",
                 )
@@ -102,11 +106,16 @@ def run_pipeline(
     out["extract_wall_ms"] = t_extract.wall_ms
     out["extract_pending_docs"] = pending
 
-    # ---- invariant gate ----------------------------------------------------
-    inv = check_span_invariant(docs, docs.select("doc_id", "spans"))
-    out["span_invariant"] = inv
-    if not inv["ok"]:
-        raise AssertionError(f"span invariant violated: {inv}")
+    # ---- invariant gate (OP-25) -------------------------------------------
+    # The thorough per-row byte-equality gate lives in pytest (L3a, input
+    # hint: "verify with pytest"); this in-run check re-reads the source and
+    # compares per-doc fingerprints both ways — two extra full scans, so
+    # operators running fixed-cost-sensitive jobs may disable it.
+    if cfg.check_invariant:
+        inv = check_span_invariant(docs, docs.select("doc_id", "spans"))
+        out["span_invariant"] = inv
+        if not inv["ok"]:
+            raise AssertionError(f"span invariant violated: {inv}")
     if "link" not in cfg.stages:
         return out
 

@@ -376,6 +376,58 @@ FROM documents GROUP BY md5(text) HAVING COUNT(*) > 0 ORDER BY keeper_doc_id
 """
 
 
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-65 rollup: subtotal hierarchy over (status, priority)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "total_cents"
+            ),
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+def q_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-65 cube: all grouping-set combinations of (event_type, hour-of-day)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.cube("event_type", F.hour("ts").alias("hod"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("event_type", "hod")
+    )
+
+
+SQL_CUBE_EVENTS = """
+SELECT event_type, CAST(date_part('hour', ts) AS INT) AS hod, COUNT(*) AS n
+FROM events GROUP BY CUBE (event_type, CAST(date_part('hour', ts) AS INT))
+ORDER BY event_type, hod
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-62 approx_count_distinct (HLL++) next to the exact count — the
+    10^12-scale cardinality-estimate pattern.  Sketch values are
+    engine-specific → rows-only driver check; the pytest gate asserts the
+    approximation error bound instead (tests/unit/test_plan_shapes.py)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.count_distinct("user_id").alias("exact_users"),
+    ).orderBy("event_type")
+
+
 # --------------------------------------------------------------------------
 # Training-data operators: dedup / similarity / text analysis (SQL-checked)
 # --------------------------------------------------------------------------
@@ -720,6 +772,9 @@ QUERIES = {
     "nation_set_ops": q_nation_set_ops,
     "doc_tokens": q_doc_tokens,
     "exact_dedup": q_exact_dedup,
+    "rollup_orders": q_rollup_orders,
+    "cube_events": q_cube_events,
+    "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
     "quality_scores": q_quality_scores,
@@ -751,6 +806,8 @@ ORACLE_SQL = {
     "nation_set_ops": SQL_NATION_SET_OPS,
     "doc_tokens": SQL_DOC_TOKENS,
     "exact_dedup": SQL_EXACT_DEDUP,
+    "rollup_orders": SQL_ROLLUP_ORDERS,
+    "cube_events": SQL_CUBE_EVENTS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
