@@ -113,7 +113,16 @@ def run_single(cores: int, docs_path: str, alias_path: str,
         # shuffle partitions are a function of DATA size, not cluster size
         # (as on a real cluster) — identical at both levels
         shuffle_partitions=shuffle_partitions,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # scan-split sizing for this corpus's ~11 MB files: the
+            # production default (128m + 4m open cost) would coalesce the
+            # 64-file dataset into ~8 splits and cap EVERY docs scan at
+            # 8-way parallelism — the same sizing exercise
+            # spark.sql.files.maxPartitionBytes needs at any scale
+            "spark.sql.files.maxPartitionBytes": "8m",
+            "spark.sql.files.openCostInBytes": "1m",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     docs = load_docs(spark, docs_path)

@@ -23,8 +23,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType
 
+from pyspark.sql.types import StructType
+
 from openie_spark.schemas import TRIPLE_STRUCT, TRIPLES_SCHEMA, assert_schema
-from openie_spark.spec.rules import RULESET_VERSION, extract_document
+from openie_spark.spec.rules import RULESET_VERSION, extract_document, extract_pairs
 
 
 @pandas_udf(ArrayType(TRIPLE_STRUCT))
@@ -40,13 +42,10 @@ def extract_triples_udf(spans: pd.Series) -> pd.Series:
     return pd.Series(out, dtype=object)
 
 
-def extract_stage(docs: DataFrame) -> DataFrame:
-    """documents[DOC_SCHEMA] → triples[TRIPLES_SCHEMA].
-
-    Plan shape: scan → (optional salted repartition upstream) → one
-    ArrowEvalPython node → generate/explode → project.  No shuffle is
-    required by this stage itself; the explode is pipelined.
-    """
+def extract_stage_pandas(docs: DataFrame) -> DataFrame:
+    """Reference implementation of the stage via scalar pandas UDF +
+    explode.  Kept as the cross-check twin of the Arrow path (tests assert
+    identical output) and as the simplest-possible surface."""
     triples = (
         docs.select("doc_id", F.explode(extract_triples_udf("spans")).alias("t"))
         .select(
@@ -61,6 +60,80 @@ def extract_stage(docs: DataFrame) -> DataFrame:
         )
         .withColumn("ruleset", F.lit(RULESET_VERSION))
     )
+    assert_schema(triples, TRIPLES_SCHEMA, "extract_stage")
+    return triples
+
+
+def _extract_record_batches(batches):
+    """mapInArrow kernel: columnar in, columnar out.
+
+    Reads the spans ListArray's kind/text child columns with ONE C-level
+    to_pylist() per batch (no pandas Series, no per-span dict objects —
+    measured ~2x of the rule compute itself), runs the same frozen rule
+    kernel per document, and emits flat triple columns (no explode node
+    needed downstream).
+    """
+    import pyarrow as pa
+
+    out_fields = pa.schema(
+        [
+            pa.field("doc_id", pa.string(), nullable=False),
+            pa.field("sent_idx", pa.int32(), nullable=False),
+            pa.field("subj", pa.string(), nullable=False),
+            pa.field("rel", pa.string(), nullable=False),
+            pa.field("arg", pa.string(), nullable=False),
+            pa.field("subj_norm", pa.string(), nullable=False),
+            pa.field("arg_norm", pa.string(), nullable=False),
+            pa.field("conf", pa.float64(), nullable=False),
+        ]
+    )
+    for batch in batches:
+        doc_ids = batch.column(0).to_pylist()
+        spans = batch.column(1)
+        # absolute offsets into the flattened child arrays (valid for
+        # sliced arrays too); one bulk conversion per child column
+        offs = spans.offsets.to_pylist()
+        kinds = spans.values.field("kind").to_pylist()
+        texts = spans.values.field("text").to_pylist()
+        o_doc, o_sent, o_subj, o_rel, o_arg = [], [], [], [], []
+        o_sn, o_an, o_conf = [], [], []
+        for i, doc_id in enumerate(doc_ids):
+            lo, hi = offs[i], offs[i + 1]
+            for t in extract_pairs(zip(kinds[lo:hi], texts[lo:hi])):
+                o_doc.append(doc_id)
+                o_sent.append(t.sent_idx)
+                o_subj.append(t.subj)
+                o_rel.append(t.rel)
+                o_arg.append(t.arg)
+                o_sn.append(t.subj_norm)
+                o_an.append(t.arg_norm)
+                o_conf.append(t.conf)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(o_doc, pa.string()),
+                pa.array(o_sent, pa.int32()),
+                pa.array(o_subj, pa.string()),
+                pa.array(o_rel, pa.string()),
+                pa.array(o_arg, pa.string()),
+                pa.array(o_sn, pa.string()),
+                pa.array(o_an, pa.string()),
+                pa.array(o_conf, pa.float64()),
+            ],
+            schema=out_fields,
+        )
+
+
+def extract_stage(docs: DataFrame) -> DataFrame:
+    """documents[DOC_SCHEMA] → triples[TRIPLES_SCHEMA].
+
+    Plan shape: scan → (optional salted repartition upstream) → one
+    mapInArrow node emitting flat triple rows.  No shuffle is required by
+    this stage itself; no explode node; Arrow stays columnar end-to-end.
+    """
+    flat = StructType([f for f in TRIPLES_SCHEMA.fields if f.name != "ruleset"])
+    triples = docs.select("doc_id", "spans").mapInArrow(
+        _extract_record_batches, flat
+    ).withColumn("ruleset", F.lit(RULESET_VERSION))
     assert_schema(triples, TRIPLES_SCHEMA, "extract_stage")
     return triples
 

@@ -1,0 +1,67 @@
+"""Raw-file ingestion (the reference's per-document file-parsing surface,
+re-expressed as table construction: files → DOC_SCHEMA rows).
+
+The reference job walked a directory of per-document text files; the Spark
+replacement ingests those layouts into the interleaved documents table once,
+then every downstream operator works on the table.  Supported layouts:
+
+  - JSONL: one document per line, ``{"doc_id": ..., "text": ...}`` or the
+    full span shape ``{"doc_id": ..., "spans": [...]}``;
+  - text dir: one document per file (doc_id = file name), read wholetext —
+    Spark parallelizes over files, so a million-file corpus scans wide.
+
+Both return DataFrames conforming to DOC_SCHEMA (flat text becomes a single
+text span at offset 0 — the degenerate interleaving).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def _single_span(text_col) -> F.Column:
+    # field order/types exactly match SPAN_SCHEMA; no cast — Spark cannot
+    # cast between array types differing only in nullability
+    return F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            text_col.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+
+
+def ingest_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL → DOC_SCHEMA.  Lines carrying a full ``spans`` array pass
+    through; flat ``text`` lines become a single text span."""
+    read_schema = (
+        "doc_id string, text string, spans array<struct<"
+        "kind:string,text:string,media_ref:string,offset:int>>"
+    )
+    raw = spark.read.schema(read_schema).json(path)
+    return raw.select(
+        F.col("doc_id"),
+        F.coalesce(F.col("spans"), _single_span(F.col("text"))).alias("spans"),
+    )
+
+
+def ingest_text_dir(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
+    """Directory of one-file-per-document text → DOC_SCHEMA.
+
+    ``wholetext`` keeps each file one row; doc_id is the file's base name.
+    At 100 TB this layout is what the reference parsed serially per file —
+    here the scan itself is the parallelism (one task per file group)."""
+    raw = (
+        spark.read.option("wholetext", "true")
+        .text(f"{path}/{glob}")
+        .withColumn("_file", F.input_file_name())
+    )
+    doc_id = F.regexp_extract(F.col("_file"), r"([^/]+)\.[^./]+$", 1)
+    return raw.select(
+        doc_id.alias("doc_id"),
+        _single_span(F.col("value")).alias("spans"),
+    )
+
+
+__all__ = ["ingest_jsonl", "ingest_text_dir"]

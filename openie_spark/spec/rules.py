@@ -196,8 +196,11 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
     return out
 
 
-def extract_document(spans: list[dict]) -> list[Triple]:
-    """Apply rule set v1 to one document's span array (the input_hint shape).
+def extract_pairs(pairs) -> list[Triple]:
+    """Apply rule set v1 to one document given as an iterable of
+    (kind, text) span pairs — the shared kernel for both the dict-shaped
+    oracle path and the Arrow columnar path (same frozen rules; this is an
+    internal refactor, not a rule change).
 
     Only kind='text' spans feed extraction; media spans are skipped but do
     not reset the sentence counter (sent_idx is global per doc).  Per-doc
@@ -206,11 +209,8 @@ def extract_document(spans: list[dict]) -> list[Triple]:
     triples: list[Triple] = []
     seen: set[tuple[str, str, str]] = set()
     sent_idx = 0
-    for span in spans:
-        if span.get("kind") != "text":
-            continue
-        text = span.get("text")
-        if text is None:
+    for kind, text in pairs:
+        if kind != "text" or text is None:
             continue
         for sent in segment(text):
             for t in extract_sentence(sent, sent_idx):
@@ -220,3 +220,8 @@ def extract_document(spans: list[dict]) -> list[Triple]:
                     triples.append(t)
             sent_idx += 1
     return triples
+
+
+def extract_document(spans: list[dict]) -> list[Triple]:
+    """Apply rule set v1 to one document's span array (the input_hint shape)."""
+    return extract_pairs((s.get("kind"), s.get("text")) for s in spans)

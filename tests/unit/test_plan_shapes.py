@@ -105,7 +105,8 @@ def test_extraction_single_python_fence(spark, golden_docs_path):
     from openie_spark.sources.tables import load_docs
 
     plan = _plan(extract_stage(load_docs(spark, golden_docs_path)))
-    assert plan.count("ArrowEvalPython") == 1
+    fences = plan.count("MapInArrow") + plan.count("ArrowEvalPython")
+    assert fences == 1, plan
     assert "BatchEvalPython" not in plan  # no row-oriented Python UDF
 
 
@@ -116,5 +117,6 @@ def test_mention_normalization_jvm_side(spark, golden_docs_path):
     from openie_spark.sources.tables import load_docs
 
     plan = _plan(mentions_from_triples(extract_stage(load_docs(spark, golden_docs_path))))
-    assert plan.count("ArrowEvalPython") <= 2  # one per union branch, same UDF
+    fences = plan.count("MapInArrow") + plan.count("ArrowEvalPython")
+    assert fences <= 2, plan  # one per union branch, same kernel
     assert "BatchEvalPython" not in plan
