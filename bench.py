@@ -60,18 +60,27 @@ def main() -> int:
     from tests.conftest import ALIAS_PA
 
     # deterministic KG bench corpus, scaled with sf, cached as parquet
-    n_docs = max(2000, int(100_000 * sf))
-    docs_path = store.ensure(
-        f"bench_docs_{n_docs}",
-        lambda p: store.write_docs(golden_docs(n_docs=n_docs), p),
-    )
+    n_docs = max(2000, int(2_000_000 * sf))
+    if n_docs >= 50_000:  # multiprocess chunked generator + parallel scan
+        from openie_spark.fixtures.gen_scale import ensure_scale_corpus
+
+        docs_path = ensure_scale_corpus(n_docs)
+    else:
+        docs_path = store.ensure(
+            f"bench_docs_{n_docs}",
+            lambda p: store.write_docs(golden_docs(n_docs=n_docs), p),
+        )
     alias_path = store.ensure(
         "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
     )
 
     spark = get_spark(app="openie-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus,
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+                      extra_conf={"spark.ui.showConsoleProgress": "false",
+                                  # corpus files are a few MB — size scan
+                                  # splits accordingly (BASELINE.md)
+                                  "spark.sql.files.maxPartitionBytes": "4m",
+                                  "spark.sql.files.openCostInBytes": "512k"})
     spark.sparkContext.setLogLevel("ERROR")
 
     from pyspark.sql import functions as F
@@ -96,9 +105,10 @@ def main() -> int:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
-    # -- warm the JVM + Python workers once (not timed) ---------------------
+    # -- warm the JVM + Python worker pool once (not timed) -----------------
     force(docs.limit(64).select("doc_id", F.explode(
         F.filter("spans", lambda s: s["kind"] == F.lit("text"))).alias("s")))
+    extract_stage(docs.limit(2048)).count()
 
     def timed(name: str, fn) -> None:
         t0 = time.perf_counter()

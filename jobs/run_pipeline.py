@@ -44,6 +44,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--n-buckets", type=int, default=64)
     ap.add_argument("--salt", type=int, default=8)
     ap.add_argument("--parallelism", type=int, default=None)
+    ap.add_argument("--no-counts", action="store_true",
+                    help="skip informational count() actions (fewer jobs)")
+    ap.add_argument("--no-invariant", action="store_true",
+                    help="skip the in-run span-invariant scan (pytest gates it)")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -62,6 +66,8 @@ def main(argv: list[str] | None = None) -> int:
             salt=args.salt,
             repartition=args.parallelism,
             stages=stages,
+            collect_counts=not args.no_counts,
+            check_invariant=not args.no_invariant,
         )
         res = run_pipeline(spark, docs, aliases, ParquetCatalog(spark, args.output), cfg)
         print(json.dumps(res, default=str))

@@ -36,10 +36,12 @@ def docs_to_table(docs: list[dict]) -> pa.Table:
     )
 
 
-def write_docs(docs: list[dict], path: str | Path) -> str:
+def write_docs(docs: list[dict], path: str | Path, row_group_size: int = 4096) -> str:
+    # small row groups keep single-file fixtures splittable into parallel
+    # scan tasks (one giant row group = one task no matter the core count)
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    pq.write_table(docs_to_table(docs), path)
+    pq.write_table(docs_to_table(docs), path, row_group_size=row_group_size)
     return str(path)
 
 
