@@ -144,3 +144,111 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
 def media_feature_stage(docs: DataFrame) -> DataFrame:
     """Full media path: explode → fetch(stub) → decode(stub) → features."""
     return decode_media(fetch_media_bytes(media_spans(docs)))
+
+
+# ---------------------------------------------------------------------------
+# resize / frame-sample (same stub discipline: Spark plumbing real,
+# pixel/codec kernels replaceable one function at a time)
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("span_pos", IntegerType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("width", IntegerType(), False),
+        StructField("height", IntegerType(), False),
+        StructField("thumb_w", IntegerType(), False),
+        StructField("thumb_h", IntegerType(), False),
+        StructField("thumb", BinaryType(), False),
+    ]
+)
+
+
+def _resize_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
+    """STUB — no image codec in the container.  Computes the exact
+    aspect-preserving target dims a real resize would, and emits a
+    deterministic hash-derived byte payload of plausible thumbnail size.
+    Replace with PIL: ``img.thumbnail((max_side, max_side)); buf = ...``."""
+    w, h = _decode_image_stub(content)
+    scale = min(1.0, max_side / max(w, h))
+    tw, th = max(1, int(w * scale)), max(1, int(h * scale))
+    h0 = hashlib.sha256(content + max_side.to_bytes(4, "big")).digest()
+    payload = (h0 * ((tw * th * 3) // len(h0) + 1))[: tw * th * 3 // 64 + 16]
+    return tw, th, payload
+
+
+def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving thumbnail pass over image spans (mapInPandas)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind != "image":
+                    continue
+                content = bytes(r.content) if r.content is not None else b""
+                w, h = _decode_image_stub(content)
+                tw, th, thumb = _resize_stub(content, max_side)
+                rows.append(
+                    {
+                        "doc_id": r.doc_id,
+                        "span_pos": r.span_pos,
+                        "media_ref": r.media_ref,
+                        "width": w,
+                        "height": h,
+                        "thumb_w": tw,
+                        "thumb_h": th,
+                        "thumb": thumb,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media_with_bytes.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType(), False),
+        StructField("span_pos", IntegerType(), False),
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_ms", IntegerType(), False),
+        StructField("feature", ArrayType(FloatType(), containsNull=False), False),
+    ]
+)
+
+
+def sample_frames(
+    media_with_bytes: DataFrame, every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Uniform frame sampling over audio/video spans: one output row per
+    sampled frame with a per-frame feature vector (mapInPandas; the frame
+    decode is the stub — replace with ffmpeg seek+decode)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                if r.kind not in ("audio", "video"):
+                    continue
+                content = bytes(r.content) if r.content is not None else b""
+                duration = _decode_audio_stub(content)
+                n = min(max_frames, max(1, duration // every_ms))
+                for k in range(int(n)):
+                    ts = k * every_ms
+                    rows.append(
+                        {
+                            "doc_id": r.doc_id,
+                            "span_pos": r.span_pos,
+                            "media_ref": r.media_ref,
+                            "frame_idx": k,
+                            "ts_ms": ts,
+                            "feature": _feature_stub(
+                                content + ts.to_bytes(4, "big")
+                            ),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return media_with_bytes.mapInPandas(run, FRAMES_SCHEMA)

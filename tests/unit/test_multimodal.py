@@ -63,3 +63,47 @@ def test_feature_stage_deterministic(spark, docs):
     a = sorted(map(repr, media_feature_stage(docs).collect()))
     b = sorted(map(repr, media_feature_stage(docs).collect()))
     assert a == b
+
+
+def test_resize_images(spark, docs):
+    from openie_spark.operators.multimodal import (
+        RESIZED_SCHEMA,
+        fetch_media_bytes,
+        resize_images,
+    )
+
+    media = fetch_media_bytes(media_spans(docs))
+    out = resize_images(media, max_side=128)
+    assert out.schema == RESIZED_SCHEMA
+    rows = out.collect()
+    n_images = media.where("kind = 'image'").count()
+    assert len(rows) == n_images and n_images > 0
+    for r in rows:
+        assert max(r["thumb_w"], r["thumb_h"]) <= 128
+        # aspect preserved within integer truncation
+        assert abs(r["width"] / r["height"] - r["thumb_w"] / r["thumb_h"]) < 0.25
+        assert len(r["thumb"]) > 0
+
+
+def test_sample_frames(spark, docs):
+    from openie_spark.operators.multimodal import (
+        FRAMES_SCHEMA,
+        fetch_media_bytes,
+        sample_frames,
+    )
+
+    media = fetch_media_bytes(media_spans(docs))
+    out = sample_frames(media, every_ms=500, max_frames=4)
+    assert out.schema == FRAMES_SCHEMA
+    rows = out.collect()
+    assert rows
+    by_span: dict = {}
+    for r in rows:
+        by_span.setdefault((r["doc_id"], r["span_pos"]), []).append(r)
+    for frames in by_span.values():
+        idxs = sorted(f["frame_idx"] for f in frames)
+        assert idxs == list(range(len(idxs)))  # contiguous from 0
+        assert len(idxs) <= 4
+        for f in frames:
+            assert f["ts_ms"] == f["frame_idx"] * 500
+            assert len(f["feature"]) == 16
