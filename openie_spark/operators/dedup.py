@@ -68,18 +68,23 @@ def minhash_dup_pairs(
     → exact-Jaccard verify.  Output (id_a, id_b, jaccard), id_a < id_b."""
     base = df.select(
         F.col(id_col).alias("id"), word_shingles_col(text_col).alias("sh")
-    ).withColumn("bands", _doc_band_keys_udf("sh"))
-    exp = base.select("id", "sh", F.explode("bands").alias("band_key"))
-    a = exp.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band_key"
-    )
-    b = exp.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band_key"
-    )
-    return (
+    ).withColumn("bands", _doc_band_keys_udf("sh")).localCheckpoint(eager=False)
+    # explode band keys WITHOUT the shingle arrays: carrying them through
+    # the 16x-replicated band join multiplies shuffle bytes by the shingle
+    # payload; candidate pairs are orders of magnitude fewer, so shingles
+    # are re-joined only for the verify step
+    exp = base.select("id", F.explode("bands").alias("band_key"))
+    a = exp.select(F.col("id").alias("id_a"), "band_key")
+    b = exp.select(F.col("id").alias("id_b"), "band_key")
+    pairs = (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = base.select("id", "sh")
+    return (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

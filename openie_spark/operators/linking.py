@@ -80,26 +80,22 @@ def lsh_links(unlinked: DataFrame, alias_dict: DataFrame) -> DataFrame:
     unlinked: DataFrame[mention_norm] (distinct).
     Returns (mention_norm, entity_id, method='lsh').
     """
-    m = unlinked.select(
-        "mention_norm",
-        shingles_col("mention_norm").alias("m_shingles"),
-        band_keys_udf("mention_norm").alias("m_bands"),
+    # band keys only through the 16x-replicated explode/join; the shingle
+    # arrays are recomputed as a JVM expression on the (far fewer)
+    # candidate pairs instead of being carried through the shuffle
+    m_exp = unlinked.select(
+        "mention_norm", F.explode(band_keys_udf("mention_norm")).alias("band_key")
     )
-    a = alias_dict.select(
+    a_exp = alias_dict.select(
         "alias_norm",
         "entity_id",
-        shingles_col("alias_norm").alias("a_shingles"),
-        band_keys_udf("alias_norm").alias("a_bands"),
-    )
-    m_exp = m.select(
-        "mention_norm", "m_shingles", F.explode("m_bands").alias("band_key")
-    )
-    a_exp = a.select(
-        "alias_norm", "entity_id", "a_shingles", F.explode("a_bands").alias("band_key")
+        F.explode(band_keys_udf("alias_norm")).alias("band_key"),
     )
     cand = (
         m_exp.join(a_exp, "band_key")
         .dropDuplicates(["mention_norm", "alias_norm", "entity_id"])
+        .withColumn("m_shingles", shingles_col("mention_norm"))
+        .withColumn("a_shingles", shingles_col("alias_norm"))
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("m_shingles", "a_shingles"))

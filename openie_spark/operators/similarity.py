@@ -111,6 +111,8 @@ def srp_topk(
     Scale shape: band-key equi-join (shuffle bounded by bucket sizes), then
     per-query top-k."""
     keys = srp_band_keys_udf(dim)
+    # corpus vectors are NOT carried through the 8x-replicated band join —
+    # candidates are few, so vectors re-join after pair dedup
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
@@ -118,13 +120,16 @@ def srp_topk(
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
         F.explode(keys(vec_col)).alias("band_key"),
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     cand = (
         q.join(c, "band_key")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
+        .join(cvec, "neighbor_id")
         .withColumn("cosine", cosine_col("q_vec", "c_vec"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -142,16 +147,17 @@ def cosine_near_dup_pairs(
     """Embedding-cosine near-duplicate pairs via SRP blocking + exact verify."""
     keys = srp_band_keys_udf(dim)
     e = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        F.explode(keys(vec_col)).alias("band_key"),
+        F.col(id_col).alias("id"), F.explode(keys(vec_col)).alias("band_key")
     )
-    a = e.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "band_key")
-    b = e.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "band_key")
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    a = e.select(F.col("id").alias("id_a"), "band_key")
+    b = e.select(F.col("id").alias("id_b"), "band_key")
     return (
         a.join(b, "band_key")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")), "id_b")
         .withColumn("cosine", cosine_col("vec_a", "vec_b"))
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
