@@ -416,6 +416,78 @@ ORDER BY event_type, hod
 """
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: per-user event sessions split at >30 min gaps —
+    lag window + running sum of session-start markers (OP-70/72 family)."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("int")
+    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = e.withColumn("session_seq", F.sum(new_sess).over(run))
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact integer microseconds: double->bigint casts truncate in
+            # Spark but round in DuckDB, so no division happens here
+            (F.max("ts_us") - F.min("ts_us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       COUNT(*) AS n_events,
+       CAST(MAX(ts_us) - MIN(ts_us) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+"""
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity matching: levenshtein distance between every
+    nation and region name (tiny cross space — the string-function parity
+    check; real fuzzy joins go through the LSH path)."""
+    n = load(spark, sf_dir, "nation").select("n_name")
+    r = load(spark, sf_dir, "region").select("r_name")
+    return (
+        n.crossJoin(r)
+        .select(
+            "n_name",
+            "r_name",
+            F.levenshtein(F.lower("n_name"), F.lower("r_name")).alias("lev"),
+        )
+        .orderBy("n_name", "r_name")
+    )
+
+
+SQL_FUZZY_MATCH = """
+SELECT n_name, r_name, levenshtein(lower(n_name), lower(r_name)) AS lev
+FROM nation CROSS JOIN region ORDER BY n_name, r_name
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-62 approx_count_distinct (HLL++) next to the exact count — the
     10^12-scale cardinality-estimate pattern.  Sketch values are
@@ -774,6 +846,8 @@ QUERIES = {
     "exact_dedup": q_exact_dedup,
     "rollup_orders": q_rollup_orders,
     "cube_events": q_cube_events,
+    "sessionize": q_sessionize,
+    "fuzzy_match": q_fuzzy_match,
     "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -808,6 +882,8 @@ ORACLE_SQL = {
     "exact_dedup": SQL_EXACT_DEDUP,
     "rollup_orders": SQL_ROLLUP_ORDERS,
     "cube_events": SQL_CUBE_EVENTS,
+    "sessionize": SQL_SESSIONIZE,
+    "fuzzy_match": SQL_FUZZY_MATCH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
