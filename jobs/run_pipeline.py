@@ -24,6 +24,9 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from openie_spark.catalog import ParquetCatalog
 from openie_spark.plans.pipeline import PipelineConfig, run_pipeline
