@@ -1,0 +1,108 @@
+"""Property tests for the frozen rule set (spec/rules.py) — pure Python,
+no Spark.  These pin the structural invariants the distributed pipeline
+relies on, over randomized inputs."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openie_spark.spec.lexicon import DET_SET
+from openie_spark.spec.rules import (
+    extract_document,
+    extract_pairs,
+    extract_sentence,
+    normalize_mention,
+    segment,
+    tokenize,
+)
+
+words = st.sampled_from(
+    "the a an acme corp vertex group hired owns ships fast old engineer "
+    "factory parts river with from near and very quite it they".split()
+)
+sentences = st.lists(words, min_size=1, max_size=12).map(
+    lambda ws: " ".join(ws) + "."
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(sentences)
+def test_triples_substrings_and_nonoverlap(sent):
+    toks = tokenize(sent)
+    for t in extract_sentence(sent, 0):
+        # every emitted field is a contiguous token span of the sentence
+        for surface in (t.subj, t.rel, t.arg):
+            assert " ".join(tokenize(surface)) == surface
+            joined = " ".join(toks)
+            assert surface in joined
+        assert t.conf == 1.0
+        # normalization is idempotent and determiner-free at the front
+        for norm in (t.subj_norm, t.arg_norm):
+            assert normalize_mention(norm) == norm
+            first = norm.split(" ", 1)[0]
+            if " " in norm:
+                assert first not in DET_SET
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(sentences, min_size=1, max_size=5))
+def test_document_dedup_and_sent_idx(sents):
+    spans = [
+        {"kind": "text", "text": " ".join(sents), "media_ref": None, "offset": 0}
+    ]
+    triples = extract_document(spans)
+    keys = [(t.subj, t.rel, t.arg) for t in triples]
+    assert len(keys) == len(set(keys))  # per-doc exact dedup
+    n_sents = len(segment(" ".join(sents)))
+    for t in triples:
+        assert 0 <= t.sent_idx < n_sents
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(sentences, min_size=1, max_size=4))
+def test_media_spans_transparent(sents):
+    """Interleaving media spans must not change the emitted triple set
+    (sent_idx counters keep running; media contributes nothing)."""
+    text_spans = [
+        {"kind": "text", "text": s, "media_ref": None, "offset": 0} for s in sents
+    ]
+    with_media = []
+    for i, sp in enumerate(text_spans):
+        with_media.append(sp)
+        with_media.append(
+            {"kind": "image", "text": None, "media_ref": f"m://{i}", "offset": 0}
+        )
+    a = [(t.subj, t.rel, t.arg, t.sent_idx) for t in extract_document(text_spans)]
+    b = [(t.subj, t.rel, t.arg, t.sent_idx) for t in extract_document(with_media)]
+    assert a == b
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet="abc XY.!?' \n\t", max_size=60))
+def test_segment_preserves_content(text):
+    """Segmentation only splits on the frozen boundary regex — rejoining
+    with single spaces loses at most the boundary whitespace."""
+    segs = segment(text)
+    for s in segs:
+        assert s.strip()
+    whole = re.sub(r"\s+", " ", " ".join(segs)).strip()
+    norm_in = re.sub(r"\s+", " ", text).strip()
+    # every segment is a substring of the input
+    for s in segs:
+        assert s in text
+    # and nothing outside whitespace was dropped
+    assert whole.replace(" ", "") == norm_in.replace(" ", "")
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(sentences, min_size=1, max_size=3))
+def test_pairs_and_dicts_agree(sents):
+    spans = [
+        {"kind": "text", "text": s, "media_ref": None, "offset": 0} for s in sents
+    ]
+    assert extract_document(spans) == extract_pairs(
+        (s["kind"], s["text"]) for s in spans
+    )
