@@ -53,11 +53,10 @@ def main() -> int:
     sf = sf_of(sf_dir)
 
     from openie_spark.fixtures import store
-    from openie_spark.fixtures.entities import alias_rows
+    from openie_spark.fixtures.entities import ensure_alias_dict
     from openie_spark.fixtures.gen_golden import golden_docs
     from openie_spark.session import get_spark
     from openie_spark.sources.tables import load_alias_dict, load_docs
-    from tests.conftest import ALIAS_PA
 
     # deterministic KG bench corpus, scaled with sf, cached as parquet
     n_docs = max(2000, int(2_000_000 * sf))
@@ -70,9 +69,7 @@ def main() -> int:
             f"bench_docs_{n_docs}",
             lambda p: store.write_docs(golden_docs(n_docs=n_docs), p),
         )
-    alias_path = store.ensure(
-        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
-    )
+    alias_path = ensure_alias_dict()
 
     spark = get_spark(app="openie-bench", master=f"local[{cpus}]",
                       shuffle_partitions=2 * cpus,

@@ -210,15 +210,11 @@ def main() -> int:
     ap.add_argument("--single", help="(internal) run one rep: cores:outfile:count_triples")
     args = ap.parse_args()
 
-    from openie_spark.fixtures import store
-    from openie_spark.fixtures.entities import alias_rows
+    from openie_spark.fixtures.entities import ensure_alias_dict
     from openie_spark.fixtures.gen_scale import ensure_scale_corpus
-    from tests.conftest import ALIAS_PA
 
     docs_path = ensure_scale_corpus(args.docs)
-    alias_path = store.ensure(
-        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
-    )
+    alias_path = ensure_alias_dict()
 
     if args.single:
         cores_s, outfile, count_s = args.single.split(":")

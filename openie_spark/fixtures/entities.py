@@ -90,3 +90,25 @@ def zipf_probs(n: int = 200, alpha: float = 1.2) -> np.ndarray:
     ranks = np.arange(1, n + 1, dtype=np.float64)
     p = ranks**-alpha
     return p / p.sum()
+
+
+# pyarrow schema for the alias-dict fixture + its build-once materializer
+# (lives here, not in tests/, so the driver contract and jobs never import
+# test modules)
+import pyarrow as _pa
+
+ALIAS_PA = _pa.schema(
+    [
+        _pa.field("alias_norm", _pa.string(), nullable=False),
+        _pa.field("entity_id", _pa.int64(), nullable=False),
+        _pa.field("entity_name", _pa.string(), nullable=False),
+    ]
+)
+
+
+def ensure_alias_dict() -> str:
+    from openie_spark.fixtures import store
+
+    return store.ensure(
+        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
+    )

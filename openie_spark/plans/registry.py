@@ -806,14 +806,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-30..35: exact broadcast join ∪ MinHash-LSH ∪ minting over the
     extraction mentions, against the frozen alias-dict fixture."""
-    from openie_spark.fixtures.entities import alias_rows
+    from openie_spark.fixtures.entities import ensure_alias_dict
     from openie_spark.operators.linking import link_mentions
     from openie_spark.sources.tables import load_alias_dict
-    from tests.conftest import ALIAS_PA
 
-    alias_path = store.ensure(
-        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
-    )
+    alias_path = ensure_alias_dict()
     mentions = mentions_from_triples(extract_stage(_docs(spark, sf_dir)))
     return link_mentions(mentions, load_alias_dict(spark, alias_path)).orderBy(
         "mention_norm"

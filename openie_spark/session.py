@@ -13,6 +13,7 @@ the 10^12-document design target and merely exercised small in the sandbox:
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -23,6 +24,15 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
 ) -> SparkSession:
+    # Python workers are forked from a daemon the JVM launches with THIS
+    # process's environment — the driver's sys.path does not propagate, so
+    # export the package root or UDFs fail to unpickle when the process was
+    # started outside the repo (on clusters --py-files serves this purpose)
+    pkg_root = str(Path(__file__).resolve().parents[1])
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pp if pp else "")
+
     master = master or os.environ.get("OPENIE_MASTER", "local[*]")
     cores = _core_count(master)
     if shuffle_partitions is None:

@@ -39,17 +39,9 @@ def docs_sf0001_path() -> str:
     )
 
 
-ALIAS_PA = pa.schema(
-    [
-        pa.field("alias_norm", pa.string(), nullable=False),
-        pa.field("entity_id", pa.int64(), nullable=False),
-        pa.field("entity_name", pa.string(), nullable=False),
-    ]
-)
+from openie_spark.fixtures.entities import ALIAS_PA, ensure_alias_dict  # noqa: E402
 
 
 @pytest.fixture(scope="session")
 def alias_dict_path() -> str:
-    return store.ensure(
-        "alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p)
-    )
+    return ensure_alias_dict()

@@ -21,15 +21,15 @@ from openie_spark.fixtures.entities import alias_rows
 from openie_spark.fixtures.gen_golden import golden_docs
 from openie_spark.operators.extract import extract_stage, mentions_from_triples
 from openie_spark.operators.linking import link_mentions
+from openie_spark.fixtures.entities import ensure_alias_dict
 from openie_spark.sources.tables import load_alias_dict, load_docs
-from tests.conftest import ALIAS_PA
 
 master, shuffle = sys.argv[1], int(sys.argv[2])
 spark = get_spark(app="det", master=master, shuffle_partitions=shuffle,
                   extra_conf={"spark.ui.showConsoleProgress": "false"})
 spark.sparkContext.setLogLevel("ERROR")
 docs_path = store.ensure("golden_docs", lambda p: store.write_docs(golden_docs(), p))
-alias_path = store.ensure("alias_dict", lambda p: store.write_rows(alias_rows(), ALIAS_PA, p))
+alias_path = ensure_alias_dict()
 docs = load_docs(spark, docs_path)
 triples = extract_stage(docs)
 links = link_mentions(mentions_from_triples(triples), load_alias_dict(spark, alias_path))
