@@ -31,12 +31,35 @@ def span_fingerprint_col(spans_col: str = "spans"):
 
 def check_span_invariant(inp: DataFrame, out: DataFrame) -> dict:
     """Returns counts of violating docs in each direction; both must be 0.
-    Implemented as exceptAll over (doc_id, fingerprint) pairs so duplicated
-    doc_ids are also caught."""
-    a = inp.select("doc_id", span_fingerprint_col().alias("fp"))
-    b = out.select("doc_id", span_fingerprint_col().alias("fp"))
-    missing = a.exceptAll(b).count()
-    extra = b.exceptAll(a).count()
+
+    Multiset semantics (duplicated doc_ids are caught): per-(doc_id, fp)
+    counts on each side, full-outer joined, positive differences summed per
+    direction — ONE job instead of two exceptAll passes (each of which
+    scans both inputs)."""
+    a = (
+        inp.select("doc_id", span_fingerprint_col().alias("fp"))
+        .groupBy("doc_id", "fp")
+        .agg(F.count("*").alias("n_a"))
+    )
+    b = (
+        out.select("doc_id", span_fingerprint_col().alias("fp"))
+        .groupBy("doc_id", "fp")
+        .agg(F.count("*").alias("n_b"))
+    )
+    row = (
+        a.join(b, ["doc_id", "fp"], "full_outer")
+        .select(
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+        .agg(
+            F.sum(F.greatest(F.col("n_a") - F.col("n_b"), F.lit(0))).alias("missing"),
+            F.sum(F.greatest(F.col("n_b") - F.col("n_a"), F.lit(0))).alias("extra"),
+        )
+        .collect()[0]
+    )
+    missing = int(row["missing"] or 0)
+    extra = int(row["extra"] or 0)
     return {"missing": missing, "extra": extra, "ok": missing == 0 and extra == 0}
 
 

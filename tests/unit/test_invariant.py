@@ -1,0 +1,56 @@
+"""OP-25 checker semantics: mutations, drops, duplications, and reorders
+must all be detected; identical inputs pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openie_spark.operators.invariant import check_span_invariant
+from openie_spark.sources.tables import load_docs
+
+
+def test_identical_ok(spark, golden_docs_path):
+    docs = load_docs(spark, golden_docs_path)
+    res = check_span_invariant(docs, docs.select("doc_id", "spans"))
+    assert res == {"missing": 0, "extra": 0, "ok": True}
+
+
+def test_detects_text_mutation(spark, golden_docs_path):
+    docs = load_docs(spark, golden_docs_path)
+    mutated = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("doc_id") == "g00000",
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    F.concat(F.coalesce(s["text"], F.lit("")), F.lit("x")).alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    res = check_span_invariant(docs, mutated)
+    assert res["missing"] == 1 and res["extra"] == 1 and not res["ok"]
+
+
+def test_detects_dropped_and_duplicated_docs(spark, golden_docs_path):
+    docs = load_docs(spark, golden_docs_path)
+    dropped = docs.where(F.col("doc_id") != "g00001")
+    res = check_span_invariant(docs, dropped)
+    assert res["missing"] == 1 and res["extra"] == 0
+
+    dup = docs.unionByName(docs.where(F.col("doc_id") == "g00002"))
+    res = check_span_invariant(docs, dup)
+    assert res["missing"] == 0 and res["extra"] == 1
+
+
+def test_detects_span_reorder(spark, golden_docs_path):
+    docs = load_docs(spark, golden_docs_path)
+    reordered = docs.withColumn(
+        "spans", F.when(F.size("spans") > 1, F.reverse("spans")).otherwise(F.col("spans"))
+    )
+    res = check_span_invariant(docs, reordered)
+    assert not res["ok"] and res["missing"] > 0
