@@ -797,10 +797,26 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal path: explode media spans → fetch(stub) → mapInPandas
     decode/feature batches (multimodal.py).  Decode kernels are stubs, the
-    Spark plumbing (schema, batching, posexplode provenance) is real."""
+    Spark plumbing (schema, batching, posexplode provenance) is real.
+
+    The driver's canonicalizer runs a pandas ``sort_values`` over every
+    column, which dies on list cells — so the feature vector is serialized
+    to JSON here (query-level projection; the operator keeps the typed
+    array<float>)."""
     from openie_spark.operators.multimodal import media_feature_stage
 
-    return media_feature_stage(_docs(spark, sf_dir)).orderBy("doc_id", "span_pos")
+    feats = media_feature_stage(_docs(spark, sf_dir))
+    return feats.select(
+        "doc_id",
+        "span_pos",
+        "kind",
+        "media_ref",
+        "n_bytes",
+        "width",
+        "height",
+        "duration_ms",
+        F.to_json("feature").alias("feature_json"),
+    ).orderBy("doc_id", "span_pos")
 
 
 def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,33 @@ def _duck(sql: str) -> pd.DataFrame:
     return con.sql(sql).df()
 
 
+def _driver_sort(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the driver's canonicalizer entry step: pandas
+    ``sort_values`` over EVERY column.  This raises ``TypeError: unhashable
+    type`` on list/dict cells exactly like the driver harness does — so any
+    query emitting complex-typed columns fails locally first (the
+    media_features class of round-1 failure)."""
+    if len(df.columns):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df
+
+
+_CANON_UNSAFE_TYPES = ("array", "map", "struct")
+
+
+def _assert_canon_safe_schema(df) -> None:
+    """Every driver-compared output must be flat: no array/map/struct
+    columns (the driver canonicalizer cannot hash them)."""
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if f.dataType.typeName() in _CANON_UNSAFE_TYPES
+    ]
+    assert not bad, f"driver-canon-unsafe complex-typed columns: {bad}"
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
+    df = _driver_sort(df)
     df = df[sorted(df.columns)]
     rows = []
     for row in df.itertuples(index=False):
@@ -50,7 +76,9 @@ ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 @pytest.mark.parametrize("name", ORACLE_KEYS)
 def test_oracle_parity(spark, name):
     q = entrymod.queries()[name]
-    sdf = q(spark, SF_DIR).toPandas()
+    df = q(spark, SF_DIR)
+    _assert_canon_safe_schema(df)
+    sdf = df.toPandas()
     ddf = _duck(entrymod.oracle_sql()[name])
     assert sorted(sdf.columns) == sorted(ddf.columns), (
         sorted(sdf.columns),
@@ -65,9 +93,13 @@ def test_oracle_parity(spark, name):
 
 
 def test_rows_only_queries(spark):
-    """Queries without oracle SQL must still run and return a stable schema."""
+    """Queries without oracle SQL must still run, return a stable schema,
+    AND survive the driver's list-intolerant canonicalizer (replicated by
+    _driver_sort over a row sample)."""
     qs = entrymod.queries()
     for name in set(qs) - set(entrymod.oracle_sql()):
         df = qs[name](spark, SF_DIR)
+        _assert_canon_safe_schema(df)
         assert df.count() >= 0
         assert len(df.schema.fields) > 0
+        _driver_sort(df.limit(50).toPandas())  # raises on unhashable cells
