@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -105,6 +106,9 @@ N_CHUNKS = HAMMING_K + 1  # pigeonhole: some chunk must match exactly
 
 
 def _simhash(tokens: list[str]) -> int:
+    """Scalar oracle-reference SimHash (per-row Python).  NOT the hot path —
+    kept as the spec the vectorized batch kernel is asserted bit-identical
+    to (tests/unit/test_simhash_batch.py), same discipline as minhash.py."""
     if not tokens:
         return 0
     acc = [0] * SIMHASH_BITS
@@ -121,9 +125,59 @@ def _simhash(tokens: list[str]) -> int:
     return v - (1 << 63)  # signed int64
 
 
+_BIT_IDX = np.arange(SIMHASH_BITS, dtype=np.uint64)
+_BIT_WEIGHTS = np.uint64(1) << _BIT_IDX
+
+
+def _simhash_batch(texts: list[str | None]) -> np.ndarray:
+    """(n,) int64 SimHash signatures, numpy-vectorized across an Arrow
+    batch: one blake2b per *unique* token (batch-level cache), then a
+    single unpack-bits → ±1 → segment-sum → sign-pack pass instead of a
+    64-iteration Python loop per token.  Bit-identical to ``_simhash``
+    applied per row (empty docs → 0, matching the scalar sentinel)."""
+    n = len(texts)
+    out = np.zeros(n, dtype=np.int64)
+    cache: dict[str, int] = {}
+    tok_hashes: list[int] = []
+    starts: list[int] = []
+    rows: list[int] = []
+    pos = 0
+    for r, t in enumerate(texts):
+        toks = set((t or "").lower().split())
+        if not toks:
+            continue
+        starts.append(pos)
+        rows.append(r)
+        for tok in toks:
+            h = cache.get(tok)
+            if h is None:
+                h = int.from_bytes(
+                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+                )
+                cache[tok] = h
+            tok_hashes.append(h)
+        pos += len(toks)
+    if not rows:
+        return out
+    hs = np.array(tok_hashes, dtype=np.uint64)
+    # (n_tokens, 64) ±1 matrix; bit i of token-hash h contributes ±1 to acc[i]
+    pm = (
+        2 * ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64) - 1
+    )
+    acc = np.add.reduceat(pm, np.array(starts, dtype=np.int64), axis=0)
+    vals = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
+        axis=1, dtype=np.uint64
+    )
+    # v - 2^63 with uint64 wraparound == two's-complement signed reinterpret
+    out[np.array(rows, dtype=np.int64)] = (
+        vals - (np.uint64(1) << np.uint64(63))
+    ).view(np.int64)
+    return out
+
+
 @pandas_udf(LongType())
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return text.map(lambda t: _simhash((t or "").lower().split()))
+    return pd.Series(_simhash_batch(text.tolist()), index=text.index)
 
 
 def simhash_dup_pairs(

@@ -80,25 +80,55 @@ def _hyperplanes(dim: int, bits: int = SRP_BITS) -> np.ndarray:
     return rng.standard_normal((bits, dim))
 
 
+_SRP_PER = SRP_BITS // SRP_BANDS
+_SRP_MSB_W = np.uint64(1) << np.arange(_SRP_PER - 1, -1, -1, dtype=np.uint64)
+_SRP_BAND_TAG = np.arange(SRP_BANDS, dtype=np.uint64) << np.uint64(32)
+
+
+def srp_keys_scalar(v, dim: int = SRP_DIM) -> list[int]:
+    """Scalar oracle-reference band keys (per-row Python).  NOT the hot
+    path — the spec that the batch kernel below is asserted bit-identical
+    to (tests/unit/test_similarity.py), same discipline as minhash.py."""
+    planes = _hyperplanes(dim)
+    x = np.asarray(v, dtype=np.float64)
+    bits = (planes @ x) > 0
+    out = []
+    for b in range(SRP_BANDS):
+        chunk = bits[b * _SRP_PER : (b + 1) * _SRP_PER]
+        val = 0
+        for bit in chunk:
+            val = (val << 1) | int(bit)
+        out.append((b << 32) | val)
+    return out
+
+
+def _srp_keys_batch(planes: np.ndarray, vecs: list) -> list[list[int]]:
+    """Band keys for a whole Arrow batch: ONE (batch × dim) @ (dim × bits)
+    matmul + vectorized MSB-first bit-pack, instead of a per-row matvec
+    with a Python bit loop.  Rows that are null or of the wrong dimension
+    get no keys (they can never be bucket candidates)."""
+    n = len(vecs)
+    out: list[list[int]] = [[] for _ in range(n)]
+    dim = planes.shape[1]
+    idx = [i for i, v in enumerate(vecs) if v is not None and len(v) == dim]
+    if not idx:
+        return out
+    x = np.asarray([vecs[i] for i in idx], dtype=np.float64)
+    bits = (x @ planes.T) > 0  # row i == planes @ x_i elementwise
+    chunks = bits.reshape(len(idx), SRP_BANDS, _SRP_PER).astype(np.uint64)
+    vals = (chunks * _SRP_MSB_W).sum(axis=2, dtype=np.uint64)
+    keys = (vals | _SRP_BAND_TAG).view(np.int64)  # val < 2^32 → | == +
+    for j, i in enumerate(idx):
+        out[i] = keys[j].tolist()
+    return out
+
+
 def srp_band_keys_udf(dim: int):
     planes = _hyperplanes(dim)
 
     @pandas_udf(ArrayType(LongType()))
     def _udf(vecs: pd.Series) -> pd.Series:
-        def keys(v):
-            x = np.asarray(v, dtype=np.float64)
-            bits = (planes @ x) > 0
-            out = []
-            per = SRP_BITS // SRP_BANDS
-            for b in range(SRP_BANDS):
-                chunk = bits[b * per : (b + 1) * per]
-                val = 0
-                for bit in chunk:
-                    val = (val << 1) | int(bit)
-                out.append((b << 32) | val)
-            return out
-
-        return vecs.map(keys)
+        return pd.Series(_srp_keys_batch(planes, vecs.tolist()), index=vecs.index)
 
     return _udf
 

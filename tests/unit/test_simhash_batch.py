@@ -1,0 +1,43 @@
+"""The vectorized SimHash batch kernel must be bit-identical to the scalar
+(oracle-reference) path — including the empty-doc sentinel (0) and
+token-set dedup.  Same discipline as tests/unit/test_minhash_batch.py."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openie_spark.operators.dedup import _simhash, _simhash_batch
+
+
+def _scalar(text: str | None) -> int:
+    return _simhash((text or "").lower().split())
+
+
+def test_batch_matches_scalar_fixed():
+    texts = [
+        "the quick brown fox",
+        "the quick brown fox",  # duplicate doc → identical signature
+        "THE QUICK BROWN FOX",  # case folding
+        "completely different content entirely",
+        "",  # empty → 0 sentinel
+        None,  # null → 0 sentinel
+        "tiny",
+        "a a a a a",  # token-set dedup: same as just "a"
+        "a",
+        "ünïcode naïve tokens",
+    ]
+    got = _simhash_batch(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _scalar(t), t
+    assert int(got[7]) == int(got[8])  # set semantics
+    assert int(got[4]) == 0 and int(got[5]) == 0
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=24), min_size=0, max_size=10))
+def test_batch_property(texts):
+    got = _simhash_batch(texts)
+    assert len(got) == len(texts)
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _scalar(t)

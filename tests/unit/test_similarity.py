@@ -90,3 +90,25 @@ def test_cosine_near_dup_pairs(spark, emb):
 def test_srp_default_dim_matches_driver_table(spark):
     """The frozen default SRP_DIM must match the driver embeddings table."""
     assert SRP_DIM == 64
+
+
+def test_srp_batch_keys_match_scalar(vectors):
+    """The vectorized SRP band-key kernel (one batch matmul + bit-pack)
+    must be bit-identical to the scalar oracle path, including null /
+    wrong-dimension rows (→ no keys)."""
+    from openie_spark.operators.similarity import (
+        _hyperplanes,
+        _srp_keys_batch,
+        srp_keys_scalar,
+    )
+
+    planes = _hyperplanes(DIM)
+    vecs = [list(map(float, v)) for v in vectors[:20]]
+    vecs += [None, [], [1.0, 2.0]]  # null + wrong-dim rows
+    got = _srp_keys_batch(planes, vecs)
+    for i, v in enumerate(vecs):
+        if v is None or len(v) != DIM:
+            assert got[i] == []
+        else:
+            assert got[i] == srp_keys_scalar(v, DIM)
+
