@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from openie_spark.functions.lineage import cut_lineage
+
 MAX_ROUNDS = 50
 
 
@@ -98,13 +100,14 @@ def connected_components(edges: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
+    vertices = cut_lineage(vertices, eager=True)
 
     cur = canonical_edges(edges).where(F.col("src") != F.col("dst"))
-    cur = cur.localCheckpoint(eager=True)
+    cur = cut_lineage(cur, eager=True)
     digest = _edge_digest(cur)
     for _ in range(MAX_ROUNDS):
-        nxt = small_star(large_star(cur)).localCheckpoint(eager=True)
+        nxt = cut_lineage(small_star(large_star(cur)), eager=True)
         nd = _edge_digest(nxt)
         cur = nxt
         if nd == digest:

@@ -26,6 +26,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from openie_spark.functions import minhash as mh
+from openie_spark.functions.lineage import cut_lineage
 
 
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -69,7 +70,8 @@ def minhash_dup_pairs(
     → exact-Jaccard verify.  Output (id_a, id_b, jaccard), id_a < id_b."""
     base = df.select(
         F.col(id_col).alias("id"), word_shingles_col(text_col).alias("sh")
-    ).withColumn("bands", _doc_band_keys_udf("sh")).localCheckpoint(eager=False)
+    ).withColumn("bands", _doc_band_keys_udf("sh"))
+    base = cut_lineage(base)
     # explode band keys WITHOUT the shingle arrays: carrying them through
     # the 16x-replicated band join multiplies shuffle bytes by the shingle
     # payload; candidate pairs are orders of magnitude fewer, so shingles
@@ -220,18 +222,44 @@ def simhash_dup_pairs(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    max_df_ratio: float = 0.5,
 ) -> DataFrame:
     """Exact token-set Jaccard pairs via the postings-join pattern: explode
     distinct tokens, self-join on token, count common, divide by union size.
     Linear in total postings; this is the exact (non-probabilistic) dedup
-    path and the SQL-oracle-checkable one."""
+    path and the SQL-oracle-checkable one.
+
+    High-document-frequency pruning (the 100 TB guard): the postings
+    self-join is quadratic PER TOKEN GROUP — one stopword shared by 10^8
+    docs is 10^16 candidate rows.  Tokens appearing in more than
+    ``max_df_ratio`` of the documents are dropped from the token sets
+    before the join (they contribute least to Jaccard discrimination —
+    the prefix-filtering family of optimizations).  The high-DF token set
+    is tiny by construction (bounded by 1/max_df_ratio distinct values
+    carrying that much mass is impossible for most, in practice it is the
+    stopword list), so it broadcasts and the prune is a broadcast
+    anti-join, not a shuffle.  ``max_df_ratio >= 1.0`` disables pruning
+    (pure full-set Jaccard)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))).alias(
             "tok"
         ),
     ).where(F.col("tok") != "")
+    if max_df_ratio < 1.0:
+        n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+        hot_toks = (
+            toks.groupBy("tok")
+            .agg(F.count("*").alias("dfr"))  # (id, tok) rows are distinct
+            .crossJoin(F.broadcast(n_docs))
+            .where(F.col("dfr") > F.floor(F.lit(max_df_ratio) * F.col("n_docs")))
+            .select("tok")
+        )
+        toks = toks.join(F.broadcast(hot_toks), "tok", "left_anti")
     sizes = toks.groupBy("id").agg(F.count("*").alias("n_toks"))
     a = toks.select(F.col("id").alias("id_a"), "tok")
     b = toks.select(F.col("id").alias("id_b"), "tok")

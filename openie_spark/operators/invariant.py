@@ -29,6 +29,22 @@ def span_fingerprint_col(spans_col: str = "spans"):
     return F.xxhash64(stamped)
 
 
+def arrow_roundtrip(docs: DataFrame) -> DataFrame:
+    """Identity pass through the TWO lineage hazards the pipeline actually
+    exposes documents to: the executor Arrow round-trip (Spark → Arrow →
+    Python → Arrow → Spark, where struct field order / null-vs-empty /
+    utf8 normalization can silently drift on a version bump) and a hash
+    shuffle repartition.  The in-run OP-25 gate compares the source against
+    THIS lineage, so it checks two genuinely different computations instead
+    of a projection of the input against itself."""
+
+    def _identity(batches):
+        yield from batches
+
+    cols = docs.select("doc_id", "spans")
+    return cols.mapInArrow(_identity, cols.schema).repartition("doc_id")
+
+
 def check_span_invariant(inp: DataFrame, out: DataFrame) -> dict:
     """Returns counts of violating docs in each direction; both must be 0.
 

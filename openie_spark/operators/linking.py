@@ -35,6 +35,7 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.window import Window
 
 from openie_spark.functions import minhash as mh
+from openie_spark.functions.lineage import cut_lineage
 
 
 def shingles_col(col: str):
@@ -133,11 +134,11 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     no extra job is scheduled; materialization happens on first use.
     """
     distinct = (
-        mentions.select("mention_norm").distinct().localCheckpoint(eager=False)
+        cut_lineage(mentions.select("mention_norm").distinct())
     )
-    exact = exact_links(distinct, alias_dict).localCheckpoint(eager=False)
+    exact = cut_lineage(exact_links(distinct, alias_dict))
     rest1 = distinct.join(exact, "mention_norm", "left_anti")  # OP-53
-    lsh = lsh_links(rest1, alias_dict).localCheckpoint(eager=False)
+    lsh = cut_lineage(lsh_links(rest1, alias_dict))
     rest2 = rest1.join(lsh, "mention_norm", "left_anti")
     minted = mint_ids(rest2)
     return exact.unionByName(lsh).unionByName(minted)

@@ -21,17 +21,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from openie_spark.functions.lineage import cut_lineage
+
 
 def hot_keys(df: DataFrame, key: str, min_share: float = 0.01, top: int = 100) -> list:
     """OP-71: keys carrying more than `min_share` of rows (top-k capped).
-    One aggregate job; the result is tiny by construction."""
-    total = df.count()
+
+    ONE scan of ``df``: the per-key counts are materialized (lineage cut),
+    then the total is summed from the counts themselves — which are
+    vocabulary-bounded, orders of magnitude smaller than the input — so the
+    input is never scanned a second time just to learn the denominator."""
+    counts = cut_lineage(
+        df.groupBy(key).agg(F.count("*").alias("n")), eager=True
+    )
+    total = counts.agg(F.sum("n").alias("t")).collect()[0]["t"] or 0
     if total == 0:
         return []
     rows = (
-        df.groupBy(key)
-        .agg(F.count("*").alias("n"))
-        .where(F.col("n") >= max(1, int(total * min_share)))
+        counts.where(F.col("n") >= max(1, int(total * min_share)))
         .orderBy(F.desc("n"), F.asc(key))
         .limit(top)
         .collect()

@@ -25,8 +25,9 @@ from pyspark.sql import functions as F
 from openie_spark.catalog import ParquetCatalog
 from openie_spark.operators.components import connected_components
 from openie_spark.operators.extract import extract_stage, mentions_from_triples
-from openie_spark.operators.invariant import check_span_invariant
+from openie_spark.operators.invariant import arrow_roundtrip, check_span_invariant
 from openie_spark.operators.linking import link_mentions
+from openie_spark.functions.lineage import cut_lineage
 from openie_spark.operators.skew import hot_keys, salted_join, salted_repartition
 from openie_spark.plans import checkpoint as ckpt
 from openie_spark.schemas import EDGES_SCHEMA, VERTICES_SCHEMA, assert_schema
@@ -108,11 +109,13 @@ def run_pipeline(
 
     # ---- invariant gate (OP-25) -------------------------------------------
     # The thorough per-row byte-equality gate lives in pytest (L3a, input
-    # hint: "verify with pytest"); this in-run check re-reads the source and
-    # compares per-doc fingerprints both ways — two extra full scans, so
-    # operators running fixed-cost-sensitive jobs may disable it.
+    # hint: "verify with pytest"); this in-run check compares the source
+    # against an identity Arrow-roundtrip + shuffle lineage — the two
+    # hazards extraction exposes documents to — so it checks two genuinely
+    # different computations.  Two extra full scans; operators running
+    # fixed-cost-sensitive jobs may disable it.
     if cfg.check_invariant:
-        inv = check_span_invariant(docs, docs.select("doc_id", "spans"))
+        inv = check_span_invariant(docs, arrow_roundtrip(docs))
         out["span_invariant"] = inv
         if not inv["ok"]:
             raise AssertionError(f"span invariant violated: {inv}")
@@ -122,7 +125,7 @@ def run_pipeline(
     # ---- link stage --------------------------------------------------------
     with ckpt.StageTimer() as t_link:
         mentions = mentions_from_triples(triples)
-        links = link_mentions(mentions, alias_dict).localCheckpoint(eager=True)
+        links = cut_lineage(link_mentions(mentions, alias_dict), eager=True)
         cat.write_table(links, "links")
     if cfg.collect_counts:
         out["n_links"] = links.count()
@@ -142,7 +145,7 @@ def run_pipeline(
             F.col("dst").alias("src"), F.col("dst").alias("dst")
         )
         cc = connected_components(sameas.unionByName(self_loops))
-        cc = cc.localCheckpoint(eager=True)
+        cc = cut_lineage(cc, eager=True)
         cat.write_table(cc, "cc_assign")
     if cfg.collect_counts:
         out["n_components"] = cc.select("rep").distinct().count()
@@ -200,10 +203,14 @@ def run_pipeline(
             "mention_norm",
             F.coalesce("rep", F.col("node_id")).alias("canonical_id"),
         )
+        # one explode-projection scan of triples (not a 2x union of
+        # projections): subj_norm and arg_norm rows come out of the same
+        # pass, and hot_keys itself derives its total from the grouped
+        # counts — triples is read exactly once for hot-key detection
         hot = (
             hot_keys(
-                triples.select(F.col("subj_norm").alias("k")).unionByName(
-                    triples.select(F.col("arg_norm").alias("k"))
+                triples.select(
+                    F.explode(F.array("subj_norm", "arg_norm")).alias("k")
                 ),
                 "k",
                 cfg.hot_share,

@@ -25,8 +25,8 @@ from pyspark.sql.window import Window
 from openie_spark.fixtures import store
 from openie_spark.fixtures.gen_docs import docs_interleaved
 from openie_spark.operators.extract import extract_stage, mentions_from_triples
-from openie_spark.operators.invariant import check_span_invariant, span_fingerprint_col
-from openie_spark.sources.tables import load, load_docs, text_spans
+from openie_spark.operators.invariant import arrow_roundtrip, check_span_invariant
+from openie_spark.sources.tables import load, load_docs
 
 # --------------------------------------------------------------------------
 # helpers
@@ -505,17 +505,23 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+NGRAM_MAX_DF_RATIO = 0.8  # tokens in > 80% of docs are pruned pre-join
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (token-set) Jaccard dedup pairs via the postings-join
-    pattern (dedup.py) — restricted to a 10% doc sample because the driver
-    corpus is small-vocabulary bag-of-words (every doc shares tokens)."""
+    pattern with high-DF token pruning (dedup.py) — restricted to a 10% doc
+    sample because the driver corpus is small-vocabulary bag-of-words
+    (every doc shares tokens)."""
     from openie_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
-    return ngram_jaccard_pairs(d, "doc_id", "text", 0.5).orderBy("id_a", "id_b")
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", 0.5, max_df_ratio=NGRAM_MAX_DF_RATIO
+    ).orderBy("id_a", "id_b")
 
 
-SQL_NGRAM_JACCARD = r"""
+SQL_NGRAM_JACCARD = rf"""
 WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0),
 toks AS (
   SELECT doc_id AS id,
@@ -523,10 +529,16 @@ toks AS (
   FROM d
 ),
 toks2 AS (SELECT id, tok FROM toks WHERE tok <> ''),
-sizes AS (SELECT id, COUNT(*) AS n FROM toks2 GROUP BY id),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d),
+hot AS (
+  SELECT tok FROM (SELECT tok, COUNT(*) AS dfr FROM toks2 GROUP BY tok), nd
+  WHERE dfr > FLOOR({NGRAM_MAX_DF_RATIO!r} * n_docs)
+),
+pruned AS (SELECT id, tok FROM toks2 WHERE tok NOT IN (SELECT tok FROM hot)),
+sizes AS (SELECT id, COUNT(*) AS n FROM pruned GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
-  FROM toks2 a JOIN toks2 b USING (tok)
+  FROM pruned a JOIN pruned b USING (tok)
   WHERE a.id < b.id GROUP BY 1, 2
 )
 SELECT id_a, id_b, n_common,
@@ -566,6 +578,9 @@ def _lang_id_sql() -> str:
     cases = "\n      ".join(
         f"WHEN s_{lang} = mx THEN '{lang}'" for lang in sorted(LANG_MARKERS)
     )
+    # every per-language fragment is generated from sorted(LANG_MARKERS) so
+    # adding/renaming a language cannot desynchronize oracle and operator
+    score_cols = ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS))
     return f"""
 WITH scored AS (
   SELECT lang,
@@ -573,7 +588,7 @@ WITH scored AS (
   FROM documents
 ),
 best AS (
-  SELECT lang, greatest(s_de, s_en, s_es, s_fr) AS mx, s_de, s_en, s_es, s_fr
+  SELECT lang, greatest({score_cols}) AS mx, {score_cols}
   FROM scored
 ),
 pred AS (
@@ -731,13 +746,14 @@ def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-25: returns one row of violation counts; both must be 0."""
+    """OP-25: returns one row of violation counts; both must be 0.
+
+    Non-vacuous by construction: the output side is an identity Arrow
+    round-trip + shuffle repartition of the docs — two genuinely different
+    lineages, exercising the exact hazards (Arrow struct/null/utf8
+    round-trip, shuffle) that could corrupt the span sequence."""
     docs = _docs(spark, sf_dir)
-    out = text_spans(docs)  # a transform that touches spans column shape
-    res = check_span_invariant(docs, docs.select("doc_id", "spans"))
-    # also prove the fingerprint column itself is computable JVM-side
-    _ = docs.select(span_fingerprint_col()).limit(1).collect()
-    _ = out  # text_spans is a projection, never written back over docs
+    res = check_span_invariant(docs, arrow_roundtrip(docs))
     return spark.createDataFrame(
         [(int(res["missing"]), int(res["extra"]))], "missing bigint, extra bigint"
     )

@@ -49,7 +49,11 @@ def ingest_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def ingest_text_dir(spark: SparkSession, path: str, glob: str = "*.txt") -> DataFrame:
     """Directory of one-file-per-document text → DOC_SCHEMA.
 
-    ``wholetext`` keeps each file one row; doc_id is the file's base name.
+    ``wholetext`` keeps each file one row; doc_id is the file's path
+    RELATIVE to ``path`` with the extension stripped.  Using the relative
+    path (not just the base name) keeps DOC_SCHEMA's doc_id-unique contract
+    when equal base names live in different subdirectories; extension-less
+    files keep their full name instead of collapsing to an empty id.
     At 100 TB this layout is what the reference parsed serially per file —
     here the scan itself is the parallelism (one task per file group)."""
     raw = (
@@ -57,11 +61,23 @@ def ingest_text_dir(spark: SparkSession, path: str, glob: str = "*.txt") -> Data
         .text(f"{path}/{glob}")
         .withColumn("_file", F.input_file_name())
     )
-    doc_id = F.regexp_extract(F.col("_file"), r"([^/]+)\.[^./]+$", 1)
+    # strip everything through the ingest root, then one trailing extension;
+    # regexp_replace leaves the input unchanged when the pattern misses, so
+    # extension-less names survive intact
+    root = path.rstrip("/")
+    rel = F.regexp_replace(F.col("_file"), r"^.*?" + _re_quote(root) + "/", "")
+    doc_id = F.regexp_replace(rel, r"\.[^./]+$", "")
     return raw.select(
         doc_id.alias("doc_id"),
         _single_span(F.col("value")).alias("spans"),
     )
+
+
+def _re_quote(s: str) -> str:
+    """Escape a literal path fragment for use inside a Java regex."""
+    import re
+
+    return re.escape(s)
 
 
 __all__ = ["ingest_jsonl", "ingest_text_dir"]

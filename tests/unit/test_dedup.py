@@ -75,9 +75,12 @@ def test_simhash_identical_docs_hamming_zero(spark, corpus):
 
 
 def test_ngram_jaccard_exact(spark, corpus):
+    """max_df_ratio=1.0 disables pruning → pure full-set Jaccard."""
     got = {
         (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
-        for r in ngram_jaccard_pairs(corpus, "doc_id", "text", 0.5).collect()
+        for r in ngram_jaccard_pairs(
+            corpus, "doc_id", "text", 0.5, max_df_ratio=1.0
+        ).collect()
     }
 
     def tokset(t):
@@ -90,6 +93,29 @@ def test_ngram_jaccard_exact(spark, corpus):
         assert j == pytest.approx(len(sa & sb) / len(sa | sb))
     assert (1, 2) in got and got[(1, 2)][1] == 1.0
     assert (1, 3) in got  # one-token edit keeps token-set jaccard >= 0.5
+
+
+def test_ngram_jaccard_high_df_pruning(spark):
+    """A token planted in EVERY doc must be pruned before the postings
+    self-join: without pruning it alone contributes n*(n-1)/2 candidate
+    pairs; with pruning the candidate count is bounded by the rare-token
+    postings.  Also checks the pruned-set Jaccard values are exact."""
+    n = 40
+    rows = [(i, f"ubiq token_{i} token_{i + 1}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    pruned = ngram_jaccard_pairs(df, "doc_id", "text", 0.3, max_df_ratio=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pruned.collect()}
+    # after dropping 'ubiq', doc i = {token_i, token_i+1}: only adjacent
+    # docs share one of two tokens → jaccard 1/3; nothing else pairs up
+    assert got == {
+        (i, i + 1): pytest.approx(1 / 3) for i in range(n - 1)
+    }
+
+    # without pruning every pair shares 'ubiq' → the join fans out to all
+    # n*(n-1)/2 pairs (the quadratic blow-up the pruning exists to stop)
+    unpruned = ngram_jaccard_pairs(df, "doc_id", "text", 0.0, max_df_ratio=1.0)
+    assert unpruned.count() == n * (n - 1) // 2
 
 
 def test_minhash_scale_shape(spark, corpus):

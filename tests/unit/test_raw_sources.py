@@ -47,3 +47,26 @@ def test_ingest_text_dir(spark, tmp_path):
     assert rows["doc2"][0]["text"] == "vertex group owns a factory. it ships parts."
     triples = extract_stage(df)
     assert triples.where("doc_id = 'doc1'").count() == 1
+
+
+def test_ingest_text_dir_subdirs_do_not_collide(spark, tmp_path):
+    """Equal base names in different subdirectories must yield distinct
+    doc_ids (DOC_SCHEMA's doc_id-unique contract)."""
+    d = tmp_path / "corpus2"
+    (d / "sub1").mkdir(parents=True)
+    (d / "sub2").mkdir()
+    (d / "sub1" / "doc.txt").write_text("first text.")
+    (d / "sub2" / "doc.txt").write_text("second text.")
+    df = ingest_text_dir(spark, str(d), glob="*/*.txt")
+    ids = {r["doc_id"] for r in df.collect()}
+    assert ids == {"sub1/doc", "sub2/doc"}
+
+
+def test_ingest_text_dir_extensionless_keeps_name(spark, tmp_path):
+    """Extension-less files must keep their full name, not collapse to an
+    empty doc_id."""
+    d = tmp_path / "corpus3"
+    d.mkdir()
+    (d / "README").write_text("plain file.")
+    df = ingest_text_dir(spark, str(d), glob="*")
+    assert [r["doc_id"] for r in df.collect()] == ["README"]
