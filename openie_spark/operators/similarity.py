@@ -10,9 +10,10 @@ Two paths, as a 100 TB pipeline needs both:
     buckets.  Recall < 1 by construction; band/bit counts trade recall for
     join fan-in.  Deterministic hyperplanes derived from sha256 seeds.
 
-An IVF (inverted-file) variant would slot in the same way with kmeans
-centroids as the blocking key; SRP is chosen here because it needs no
-training pass and stays fully deterministic.
+  - IVF (inverted-file) bucketed top-k — centroid cells as the blocking
+    key (deterministic seed centroids, no RNG): corpus indexed into one
+    cell, queries probe `nprobe` cells.  Adapts to clusterable corpora
+    where SRP's data-oblivious hyperplanes lose recall.
 """
 
 from __future__ import annotations
@@ -157,6 +158,118 @@ def srp_topk(
     )
     cand = (
         q.join(c, "band_key")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .join(cvec, "neighbor_id")
+        .withColumn("cosine", cosine_col("q_vec", "c_vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the centroid-blocked alternative to SRP.
+#
+# Blocking key = nearest-centroid cell id: corpus vectors are indexed into
+# exactly one cell, query vectors probe their `nprobe` nearest cells, exact
+# cosine runs only within probed cells.  Centroid choice is a DETERMINISTIC
+# seed selection (the n_centroids corpus vectors with the smallest
+# (xxhash64(id), id) — partition-independent, no RNG, no iterative float
+# averaging whose parallel summation order could drift between runs; the
+# determinism-engineering rule SURVEY.md §4.2-G).  At the 10^9+ posture the
+# centroid set stays a driver-side collect of n_centroids rows (√N-ish, still
+# tiny) broadcast inside the UDF closure; assignment is one
+# (batch × dim) @ (dim × n_centroids) matmul per Arrow batch.
+# ---------------------------------------------------------------------------
+
+IVF_N_CENTROIDS = 16
+IVF_NPROBE = 2
+
+
+def _ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> np.ndarray:
+    """(n_centroids, dim) L2-normalized deterministic seed centroids."""
+    seeds = (
+        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64("id"), F.asc("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    c = np.asarray([[float(x) for x in r["v"]] for r in seeds], dtype=np.float64)
+    norms = np.linalg.norm(c, axis=1)
+    norms[norms == 0] = 1.0
+    return c / norms[:, None]
+
+
+def _ivf_cells_batch(cmat: np.ndarray, vecs: list, nprobe: int) -> list[list[int]]:
+    """Top-`nprobe` nearest-centroid cell ids per vector for a whole Arrow
+    batch — one matmul + stable argsort (ties → lower cell id).  Null /
+    wrong-dimension rows get no cells."""
+    n = len(vecs)
+    out: list[list[int]] = [[] for _ in range(n)]
+    dim = cmat.shape[1]
+    idx = [i for i, v in enumerate(vecs) if v is not None and len(v) == dim]
+    if not idx:
+        return out
+    x = np.asarray([vecs[i] for i in idx], dtype=np.float64)
+    nx = np.linalg.norm(x, axis=1)
+    nx[nx == 0] = 1.0
+    sims = (x / nx[:, None]) @ cmat.T
+    order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+    for j, i in enumerate(idx):
+        out[i] = [int(c) for c in order[j]]
+    return out
+
+
+def ivf_cells_udf(cmat: np.ndarray, nprobe: int):
+    from pyspark.sql.types import IntegerType
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def _udf(vecs: pd.Series) -> pd.Series:
+        return pd.Series(
+            _ivf_cells_batch(cmat, vecs.tolist(), nprobe), index=vecs.index
+        )
+
+    return _udf
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = IVF_N_CENTROIDS,
+    nprobe: int = IVF_NPROBE,
+) -> DataFrame:
+    """Approximate top-k via inverted-file blocking: exact cosine only
+    inside the query's `nprobe` nearest cells.  Scale shape identical to
+    srp_topk — cell-key equi-join (shuffle bounded by cell sizes), corpus
+    vectors re-joined only for the (few) candidates, per-query top-k
+    window.  Higher recall than SRP when the corpus is clusterable (cells
+    adapt to the data; hyperplanes don't)."""
+    cmat = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    probe = ivf_cells_udf(cmat, nprobe)
+    index = ivf_cells_udf(cmat, 1)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.explode(probe(vec_col)).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.element_at(index(vec_col), 1).alias("cell"),
+    )
+    cvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cand = (
+        q.join(c, "cell")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
         .join(cvec, "neighbor_id")

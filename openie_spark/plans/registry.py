@@ -790,6 +790,19 @@ def q_ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_topk(e, probes, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) bucketed approximate top-k (similarity.py):
+    deterministic seed centroids, nprobe-cell blocking, exact cosine only
+    within probed cells.  Approximate by construction → rows-only; the
+    recall-vs-brute-force gate (and recall ≥ SRP's) is
+    tests/unit/test_similarity.py."""
+    from openie_spark.operators.similarity import ivf_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(e, probes, k=5).orderBy("query_id", "rank")
+
+
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP blocking + exact
     verify (threshold 0.95) — rows-only (approximate blocking)."""
@@ -886,6 +899,7 @@ QUERIES = {
     "minhash_dedup": q_minhash_dedup,
     "simhash_dedup": q_simhash_dedup,
     "ann_topk_srp": q_ann_topk_srp,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "cosine_near_dup": q_cosine_near_dup,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,

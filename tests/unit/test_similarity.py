@@ -11,6 +11,7 @@ from openie_spark.operators.similarity import (
     SRP_DIM,
     brute_force_topk,
     cosine_near_dup_pairs,
+    ivf_topk,
     srp_topk,
 )
 
@@ -90,6 +91,51 @@ def test_cosine_near_dup_pairs(spark, emb):
 def test_srp_default_dim_matches_driver_table(spark):
     """The frozen default SRP_DIM must match the driver embeddings table."""
     assert SRP_DIM == 64
+
+
+def test_ivf_finds_planted_duplicates(spark, emb):
+    """Identical vectors are assigned the identical cell → the exact
+    duplicate must come back as top-1; the 1%-perturbed copy shares the
+    nearest centroid too."""
+    probes = emb.where(F.col("vec_id") == 0)
+    got = ivf_topk(emb, probes, k=K).orderBy("rank").collect()
+    assert got[0]["neighbor_id"] == 1
+    assert got[0]["cosine"] == pytest.approx(1.0)
+    assert 2 in [r["neighbor_id"] for r in got]
+
+
+def test_ivf_plan_no_cartesian(spark, emb):
+    probes = emb.where(F.col("vec_id") == 0)
+    plan = (
+        ivf_topk(emb, probes, k=K)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def _recall_vs_brute(spark, emb, vectors, method, probe_ids) -> float:
+    probes = emb.where(F.col("vec_id").isin(probe_ids))
+    got = method(emb, probes, k=K).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        len(by_q.get(qi, set()) & set(_np_topk(vectors, qi, K)))
+        for qi in probe_ids
+    )
+    return hits / (len(probe_ids) * K)
+
+
+def test_ivf_recall_at_least_srp(spark, emb, vectors):
+    """The centroid-blocked IVF path must retrieve at least as much of the
+    exact top-k as the data-oblivious SRP path on this corpus (the reason
+    it exists as the second scale path)."""
+    probe_ids = [0, 7, 13, 23, 31, 47]
+    r_ivf = _recall_vs_brute(spark, emb, vectors, ivf_topk, probe_ids)
+    r_srp = _recall_vs_brute(
+        spark, emb, vectors, lambda c, q, k: srp_topk(c, q, k=k, dim=DIM), probe_ids
+    )
+    assert r_ivf > 0
+    assert r_ivf >= r_srp
 
 
 def test_srp_batch_keys_match_scalar(vectors):
