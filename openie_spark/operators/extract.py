@@ -57,6 +57,7 @@ def extract_stage_pandas(docs: DataFrame) -> DataFrame:
             F.col("t.subj_norm").alias("subj_norm"),
             F.col("t.arg_norm").alias("arg_norm"),
             F.col("t.conf").alias("conf"),
+            F.col("t.clause_type").alias("clause_type"),
         )
         .withColumn("ruleset", F.lit(RULESET_VERSION))
     )
@@ -85,6 +86,7 @@ def _extract_record_batches(batches):
             pa.field("subj_norm", pa.string(), nullable=False),
             pa.field("arg_norm", pa.string(), nullable=False),
             pa.field("conf", pa.float64(), nullable=False),
+            pa.field("clause_type", pa.string(), nullable=False),
         ]
     )
     for batch in batches:
@@ -96,7 +98,7 @@ def _extract_record_batches(batches):
         kinds = spans.values.field("kind").to_pylist()
         texts = spans.values.field("text").to_pylist()
         o_doc, o_sent, o_subj, o_rel, o_arg = [], [], [], [], []
-        o_sn, o_an, o_conf = [], [], []
+        o_sn, o_an, o_conf, o_ct = [], [], [], []
         for i, doc_id in enumerate(doc_ids):
             lo, hi = offs[i], offs[i + 1]
             for t in extract_pairs(zip(kinds[lo:hi], texts[lo:hi])):
@@ -108,6 +110,7 @@ def _extract_record_batches(batches):
                 o_sn.append(t.subj_norm)
                 o_an.append(t.arg_norm)
                 o_conf.append(t.conf)
+                o_ct.append(t.clause_type)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(o_doc, pa.string()),
@@ -118,6 +121,7 @@ def _extract_record_batches(batches):
                 pa.array(o_sn, pa.string()),
                 pa.array(o_an, pa.string()),
                 pa.array(o_conf, pa.float64()),
+                pa.array(o_ct, pa.string()),
             ],
             schema=out_fields,
         )
@@ -140,7 +144,9 @@ def extract_stage(docs: DataFrame) -> DataFrame:
 
 def mentions_from_triples(triples: DataFrame) -> DataFrame:
     """triples → mentions (exploded subj/arg roles) for linking (OP-24 output
-    is already carried as subj_norm/arg_norm — pure built-ins downstream)."""
+    is already carried as subj_norm/arg_norm — pure built-ins downstream).
+    v2 SV clauses carry no argument (arg_norm = ''), so the arg side filters
+    empty norms — an SV fact contributes only its subject mention."""
     subj = triples.select(
         F.col("subj_norm").alias("mention_norm"),
         "doc_id",
@@ -148,7 +154,7 @@ def mentions_from_triples(triples: DataFrame) -> DataFrame:
         F.lit("subj").alias("role"),
         F.col("subj").alias("surface"),
     )
-    arg = triples.select(
+    arg = triples.where(F.col("arg_norm") != "").select(
         F.col("arg_norm").alias("mention_norm"),
         "doc_id",
         "sent_idx",

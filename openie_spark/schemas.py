@@ -56,6 +56,7 @@ TRIPLE_STRUCT = StructType(
         StructField("subj_norm", StringType(), False),
         StructField("arg_norm", StringType(), False),
         StructField("conf", DoubleType(), False),
+        StructField("clause_type", StringType(), False),  # SV|SVC|SVO|SVA (v2)
     ]
 )
 

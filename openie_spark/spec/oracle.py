@@ -1,8 +1,8 @@
 """spec/oracle.py — the single-process executable specification.
 
 Stands in for the absent krullgit/openIE reference (SURVEY.md §0): a pure
-Python, dependency-free implementation of rule set v1 over a list of
-documents in the input_hint shape.  The distributed pipeline's triples are
+Python, dependency-free implementation of the frozen rule set (see
+rules.RULESET_VERSION) over a list of documents in the input_hint shape.  The distributed pipeline's triples are
 compared against this oracle's triples on the frozen golden corpus; the
 target P/R >= 0.95 (BASELINE.json metric) is expected to be exactly 1.0
 because both implement the same frozen rules.
@@ -38,6 +38,7 @@ def oracle_triples(docs: list[dict]) -> list[dict]:
                     "subj_norm": t.subj_norm,
                     "arg_norm": t.arg_norm,
                     "conf": t.conf,
+                    "clause_type": t.clause_type,
                     "ruleset": RULESET_VERSION,
                 }
             )

@@ -1,4 +1,4 @@
-"""Rule set v1 — the frozen executable specification of triple extraction.
+"""Rule set v2 — the frozen executable specification of triple extraction.
 
 This module is the stand-in for the absent reference (SURVEY.md §0): the
 reference tree at /root/reference was empty, so "match the reference's
@@ -15,7 +15,24 @@ the ReVerb design (Fader, Soderland, Etzioni, EMNLP 2011); NP chunking
 ``DET? ADJ* NOUN+`` is standard shallow chunking; clause-split framing is
 ClausIE (Del Corro & Gemulla, WWW 2013).
 
-NORMATIVE v1 FREEZE (any change bumps RULESET_VERSION):
+NORMATIVE v2 EXTENSION over v1 (ClausIE-style clause typing, Del Corro &
+Gemulla WWW 2013; the SURVEY.md §2.3 deferred item):
+  - every triple carries a ``clause_type`` tag:
+      SVC  — the V+ run consists entirely of copulas (COPULA_SET below) and
+             the relation did not extend to a preposition (complement);
+      SVA  — the relation extended to a preposition (last_p, adverbial /
+             prepositional argument);
+      SVO  — any other verb + argument NP (direct object);
+      SV   — NEW EMISSION: a subject NP was found left of the verb but no
+             argument NP exists right of the relation (intransitive);
+             arg = '' and arg_norm = '' (SV facts never become KG edges —
+             edges are binary — but are kept in the triples table).
+  - v2 is ADDITIVE over v1: scan order, boundaries, resume points and
+    dedup are unchanged, so the (subj, rel, arg) set with SV rows removed
+    is byte-identical to v1's output (pinned by
+    tests/spec/test_ruleset_v2.py: 2204 v1 triples on the golden corpus).
+
+NORMATIVE v1 FREEZE (unchanged; any change bumps RULESET_VERSION):
   - sentence segmentation: regex split ``(?<=[.!?])\\s+``, applied PER TEXT
     SPAN (a sentence crossing a span boundary is never joined); blank
     sentences dropped; sent_idx is a global 0-based counter per document in
@@ -49,7 +66,14 @@ from typing import NamedTuple
 
 from openie_spark.spec.lexicon import ADJ_SET, ADV_SET, DET_SET, PREP_SET, VERB_SET
 
-RULESET_VERSION = "v1"
+RULESET_VERSION = "v2"
+
+# Copulas for SVC typing: the be-forms present in the frozen VERB lexicon.
+# Frozen with the rule set — editing it bumps RULESET_VERSION.
+COPULA_SET = frozenset("is was are were be been".split())
+assert COPULA_SET <= VERB_SET, "copulas must be taggable as verbs"
+
+CLAUSE_TYPES = ("SV", "SVC", "SVO", "SVA")
 
 SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 TOKEN_RE = re.compile(r"[A-Za-z0-9_']+")
@@ -68,6 +92,7 @@ class Triple(NamedTuple):
     subj_norm: str
     arg_norm: str
     conf: float
+    clause_type: str
 
 
 def segment(text: str) -> list[str]:
@@ -175,12 +200,29 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
             rel_end = last_p
         subj_span = _np_left(tokens, tags, i - 1)
         arg_span = _np_right(tokens, tags, rel_end + 1)
-        if subj_span is None or arg_span is None:
+        if subj_span is None:
             i = v_end + 1
             continue
         subj = " ".join(tokens[subj_span[0] : subj_span[1]])
         rel = " ".join(tokens[i : rel_end + 1])
+        if arg_span is None:
+            # v2 SV emission: intransitive clause (subject + verb, no
+            # argument NP).  Resume point is v_end + 1 — exactly where v1
+            # resumed from its no-emit path, so every v1 triple survives.
+            out.append(
+                Triple(
+                    sent_idx, subj, rel, "", normalize_mention(subj), "", 1.0, "SV"
+                )
+            )
+            i = v_end + 1
+            continue
         arg = " ".join(tokens[arg_span[0] : arg_span[1]])
+        if last_p >= 0:
+            clause_type = "SVA"
+        elif all(tokens[j].lower() in COPULA_SET for j in range(i, v_end + 1)):
+            clause_type = "SVC"
+        else:
+            clause_type = "SVO"
         out.append(
             Triple(
                 sent_idx,
@@ -190,6 +232,7 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
                 normalize_mention(subj),
                 normalize_mention(arg),
                 1.0,
+                clause_type,
             )
         )
         i = arg_span[1]  # non-overlapping: resume after the argument

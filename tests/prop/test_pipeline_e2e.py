@@ -27,7 +27,12 @@ def test_e2e_counts(pipeline_result):
     assert res["n_triples"] > 1000
     assert res["span_invariant"]["ok"]
     assert res["n_links"] > 0
-    assert res["n_edges"] == res["n_triples"]
+    # KG edges are binary relations: every ARGFUL triple becomes exactly one
+    # edge; v2 SV clauses (no argument) stay in the triples table only
+    triples = cat.load_table("triples")
+    n_argful = triples.where(F.col("clause_type") != "SV").count()
+    assert res["n_edges"] == n_argful
+    assert res["n_triples"] > n_argful  # golden corpus does yield SV clauses
     assert res["n_vertices"] >= res["n_components"]
     assert res["n_hot_keys"] >= 1  # zipf corpus must produce a hot key
 

@@ -16,11 +16,13 @@ def test_golden_pr(spark, golden_docs_path, golden_docs_list):
     triples = extract_stage(docs)
 
     got = {
-        (r.doc_id, r.sent_idx, r.subj, r.rel, r.arg, r.subj_norm, r.arg_norm)
+        (r.doc_id, r.sent_idx, r.subj, r.rel, r.arg, r.subj_norm, r.arg_norm,
+         r.clause_type)
         for r in triples.collect()
     }
     want = {
-        (r["doc_id"], r["sent_idx"], r["subj"], r["rel"], r["arg"], r["subj_norm"], r["arg_norm"])
+        (r["doc_id"], r["sent_idx"], r["subj"], r["rel"], r["arg"],
+         r["subj_norm"], r["arg_norm"], r["clause_type"])
         for r in oracle_triples(golden_docs_list)
     }
     p, r = precision_recall(got, want)

