@@ -85,7 +85,11 @@ def main() -> int:
     from openie_spark.catalog import ParquetCatalog
     from openie_spark.operators.dedup import minhash_dup_pairs, simhash_dup_pairs
     from openie_spark.operators.extract import extract_stage
-    from openie_spark.operators.similarity import brute_force_topk
+    from openie_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        srp_topk,
+    )
     from openie_spark.operators.text_analysis import (
         with_lang_id,
         with_quality,
@@ -156,6 +160,14 @@ def main() -> int:
     timed(
         "ann_topk_brute",
         lambda: force(brute_force_topk(embeddings, probes, k=5)),
+    )
+    timed(
+        "ann_topk_srp",
+        lambda: force(srp_topk(embeddings, probes, k=5)),
+    )
+    timed(
+        "ann_topk_ivf",
+        lambda: force(ivf_topk(embeddings, probes, k=5)),
     )
     timed(
         "text_quality",

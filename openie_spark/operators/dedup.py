@@ -127,53 +127,94 @@ def _simhash(tokens: list[str]) -> int:
     return v - (1 << 63)  # signed int64
 
 
-_BIT_IDX = np.arange(SIMHASH_BITS, dtype=np.uint64)
-_BIT_WEIGHTS = np.uint64(1) << _BIT_IDX
+_BIT_WEIGHTS = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
 
 
-def _simhash_batch(texts: list[str | None]) -> np.ndarray:
+def _simhash_batch(
+    texts: list[str | None], block_tokens: int = 1 << 19
+) -> np.ndarray:
     """(n,) int64 SimHash signatures, numpy-vectorized across an Arrow
-    batch: one blake2b per *unique* token (batch-level cache), then a
-    single unpack-bits → ±1 → segment-sum → sign-pack pass instead of a
-    64-iteration Python loop per token.  Bit-identical to ``_simhash``
-    applied per row (empty docs → 0, matching the scalar sentinel)."""
+    batch; bit-identical to ``_simhash`` applied per row (empty docs → 0,
+    matching the scalar sentinel).
+
+    Kernel shape (the part that matters at 10^9 docs): each UNIQUE token is
+    blake2b-hashed and bit-unpacked once (vocabulary-sized table); postings
+    are vocab indices; the per-doc one-bit counts come from a segment sum
+    computed in uint64 *byte lanes* — the 64 uint8 bit columns are viewed
+    as 8 uint64 words, ``np.add.reduceat`` runs over 8 native-dtype columns
+    (measured ~20x faster than reducing 64 uint8 columns with an upcast),
+    and the per-byte partial sums are exact because a doc's unique-token
+    count < 256 in the lane path (docs with ≥ 256 unique tokens take a
+    per-doc numpy fallback).  ``acc = 2·ones − n_tokens`` then sign-pack.
+    ``block_tokens`` bounds the posting working set (~64 MB) regardless of
+    Arrow batch size."""
     n = len(texts)
     out = np.zeros(n, dtype=np.int64)
-    cache: dict[str, int] = {}
-    tok_hashes: list[int] = []
-    starts: list[int] = []
-    rows: list[int] = []
-    pos = 0
+    vocab: dict[str, int] = {}  # token → index into the unique-hash table
+    uniq_hashes: list[int] = []
+    idx_flat: list[int] = []  # vocab index per (doc, token) posting
+    rows_l: list[int] = []
+    counts_l: list[int] = []
     for r, t in enumerate(texts):
         toks = set((t or "").lower().split())
         if not toks:
             continue
-        starts.append(pos)
-        rows.append(r)
+        rows_l.append(r)
+        counts_l.append(len(toks))
         for tok in toks:
-            h = cache.get(tok)
-            if h is None:
-                h = int.from_bytes(
-                    hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            ix = vocab.get(tok)
+            if ix is None:
+                ix = len(uniq_hashes)
+                vocab[tok] = ix
+                uniq_hashes.append(
+                    int.from_bytes(
+                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
+                        "big",
+                    )
                 )
-                cache[tok] = h
-            tok_hashes.append(h)
-        pos += len(toks)
-    if not rows:
+            idx_flat.append(ix)
+    if not rows_l:
         return out
-    hs = np.array(tok_hashes, dtype=np.uint64)
-    # (n_tokens, 64) ±1 matrix; bit i of token-hash h contributes ±1 to acc[i]
-    pm = (
-        2 * ((hs[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64) - 1
+    # unpack each UNIQUE hash once: little-endian uint64 bytes +
+    # bitorder='little' → column k is exactly (h >> k) & 1, matching the
+    # scalar loop's bit indexing
+    hs_uniq = np.array(uniq_hashes, dtype="<u8")
+    bits_uniq = np.unpackbits(
+        hs_uniq.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
     )
-    acc = np.add.reduceat(pm, np.array(starts, dtype=np.int64), axis=0)
-    vals = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
-        axis=1, dtype=np.uint64
-    )
-    # v - 2^63 with uint64 wraparound == two's-complement signed reinterpret
-    out[np.array(rows, dtype=np.int64)] = (
-        vals - (np.uint64(1) << np.uint64(63))
-    ).view(np.int64)
+    idx = np.array(idx_flat, dtype=np.int64)
+    rows = np.array(rows_l, dtype=np.int64)
+    counts = np.array(counts_l, dtype=np.int64)
+    ends = np.cumsum(counts)
+    d0 = 0
+    while d0 < len(rows):
+        # take documents until the posting budget fills (≥1 doc per block)
+        base = int(ends[d0 - 1]) if d0 > 0 else 0
+        d1 = int(np.searchsorted(ends, base + block_tokens, side="right"))
+        d1 = max(d1, d0 + 1)
+        starts = np.concatenate(([base], ends[d0 : d1 - 1])) - base
+        seg_counts = counts[d0:d1]
+        sel = bits_uniq[idx[base : ends[d1 - 1]]]  # (postings, 64) uint8
+        if (seg_counts < 256).all():
+            # byte-lane segment sum: 8 uint64 columns, no upcast copy
+            part = np.add.reduceat(
+                np.ascontiguousarray(sel).view(np.uint64), starts, axis=0
+            )
+            ones = part.view(np.uint8).reshape(d1 - d0, 64).astype(np.int64)
+        else:  # rare: giant docs would overflow the byte lanes
+            ones = np.empty((d1 - d0, 64), dtype=np.int64)
+            for j in range(d0, d1):
+                s = int(ends[j - 1]) if j > 0 else 0
+                ones[j - d0] = bits_uniq[idx[s : ends[j]]].sum(
+                    axis=0, dtype=np.int64
+                )
+        acc = 2 * ones - seg_counts[:, None]
+        vals = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
+            axis=1, dtype=np.uint64
+        )
+        # v - 2^63 with uint64 wraparound == two's-complement reinterpret
+        out[rows[d0:d1]] = (vals - (np.uint64(1) << np.uint64(63))).view(np.int64)
+        d0 = d1
     return out
 
 

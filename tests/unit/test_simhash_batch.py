@@ -34,6 +34,21 @@ def test_batch_matches_scalar_fixed():
     assert int(got[4]) == 0 and int(got[5]) == 0
 
 
+def test_batch_tiny_blocks_and_giant_doc_fallback():
+    """The posting-block chunking and the ≥256-unique-token byte-lane
+    fallback must both stay bit-identical to the scalar path."""
+    texts = [f"doc {i} shares some tokens token_{i % 7}" for i in range(50)]
+    got = _simhash_batch(texts, block_tokens=16)  # force many blocks
+    for i, t in enumerate(texts):
+        assert int(got[i]) == _scalar(t)
+
+    giant = " ".join(f"tok{i}" for i in range(400))  # > 255 unique tokens
+    mix = [giant, "small doc here", giant + " extra", "", None]
+    got = _simhash_batch(mix)
+    for i, t in enumerate(mix):
+        assert int(got[i]) == _scalar(t)
+
+
 @settings(max_examples=200, deadline=None)
 @given(st.lists(st.text(min_size=0, max_size=24), min_size=0, max_size=10))
 def test_batch_property(texts):
