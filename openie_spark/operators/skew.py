@@ -54,13 +54,22 @@ def salted_join(
     n_salt: int = 16,
     salt_src: list[str] | None = None,
     how: str = "inner",
+    broadcast_small: bool = False,
 ) -> DataFrame:
     """OP-52: equi-join big ⋈ small on `key`, salting only the hot keys.
 
     big rows get salt = pmod(xxhash64(*salt_src), n_salt) when key is hot
     (0 otherwise); small rows for hot keys are replicated n_salt ways via
     explode(sequence(...)) — a bounded, deterministic fan-out.
+
+    ``broadcast_small=True`` short-circuits the whole machinery: a
+    broadcast hash join never shuffles the big side, so there is no skewed
+    partition to salt — the hot list is ignored.  This is the right plan
+    whenever the small side genuinely fits the broadcast budget; the
+    salted shuffle path exists for when it does not.
     """
+    if broadcast_small:
+        return big.join(F.broadcast(small), key, how)
     if not hot:
         return big.join(small, key, how)
     salt_src = salt_src or [key]

@@ -41,6 +41,12 @@ class PipelineConfig:
     salt: int = 8
     hot_share: float = 0.02
     use_manual_salt: bool = True
+    # broadcast the vocab-bounded mention→canonical map into the two
+    # triples joins: a broadcast hash join never shuffles the (huge)
+    # triples table, so materialize drops its two biggest shuffles.  Turn
+    # off when the distinct-mention vocabulary outgrows the broadcast
+    # budget (1e9+ mentions) — the salted shuffle path then takes over.
+    broadcast_canon: bool = True
     collect_counts: bool = True  # False: skip informational count() actions
     check_invariant: bool = True  # in-run span-sequence gate (OP-25)
     stages: tuple = ("extract", "link", "canonicalize", "materialize")
@@ -225,6 +231,7 @@ def run_pipeline(
             hot,
             cfg.salt,
             salt_src=["doc_id", "sent_idx", "arg"],
+            broadcast_small=cfg.broadcast_canon,
         ).drop("mention_norm")
         t2 = salted_join(
             t1.withColumnRenamed("arg_norm", "mention_norm"),
@@ -233,6 +240,7 @@ def run_pipeline(
             hot,
             cfg.salt,
             salt_src=["doc_id", "sent_idx", "subj"],
+            broadcast_small=cfg.broadcast_canon,
         ).drop("mention_norm")
         edges = t2.select(
             "subj_canonical",

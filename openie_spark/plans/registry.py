@@ -740,6 +740,22 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_stage(_docs(spark, sf_dir))
 
 
+def q_clause_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RULESET v2 clause-type distribution over the extracted triples
+    (SV/SVC/SVO/SVA rollup; rows-only — extraction is not
+    SQL-expressible)."""
+    t = extract_stage(_docs(spark, sf_dir))
+    return (
+        t.groupBy("clause_type")
+        .agg(
+            F.count("*").alias("n_triples"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum(F.length("rel").cast("bigint")).alias("sum_rel_chars"),
+        )
+        .orderBy("clause_type")
+    )
+
+
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-24 + mention fan-out (normalization is pure built-ins upstream)."""
     return mentions_from_triples(extract_stage(_docs(spark, sf_dir)))
@@ -906,6 +922,7 @@ QUERIES = {
     "entity_links": q_entity_links,
     "connected_components": q_connected_components,
     "extract_triples": q_extract_triples,
+    "clause_stats": q_clause_stats,
     "mentions": q_mentions,
     "span_invariant": q_span_invariant,
 }

@@ -49,11 +49,12 @@ def skewed_corpus_path() -> str:
     return ensure_scale_corpus(10_000, n_chunks=8)
 
 
-def _run(spark, docs, aliases, tmp, salt_on):
+def _run(spark, docs, aliases, tmp, salt_on, broadcast=False):
     cat = ParquetCatalog(spark, str(tmp))
     cfg = PipelineConfig(
         run_id="salteq",
         use_manual_salt=salt_on,
+        broadcast_canon=broadcast,  # False → the salted SHUFFLE path runs
         collect_counts=False,
         check_invariant=False,
     )
@@ -63,18 +64,23 @@ def _run(spark, docs, aliases, tmp, salt_on):
     return res, edges, vertices
 
 
-def test_pipeline_edges_identical_with_salting_on_off(
+def test_pipeline_edges_identical_salted_plain_broadcast(
     spark, skewed_corpus_path, alias_dict_path, tmp_path
 ):
     """The zipf(1.2) scale corpus's top entity carries >10% of mentions, so
     manual salting genuinely engages; the edge and vertex tables must be
-    byte-identical with it on and off (AQE on either way)."""
+    byte-identical across all three physical strategies for the
+    triples⋈canonical joins: salted shuffle, plain shuffle, and broadcast
+    (AQE on throughout)."""
     docs = load_docs(spark, skewed_corpus_path)
     aliases = load_alias_dict(spark, alias_dict_path)
     res_on, e_on, v_on = _run(spark, docs, aliases, tmp_path / "on", True)
     res_off, e_off, v_off = _run(spark, docs, aliases, tmp_path / "off", False)
+    res_bc, e_bc, v_bc = _run(
+        spark, docs, aliases, tmp_path / "bc", True, broadcast=True
+    )
     assert res_on["n_hot_keys"] >= 1  # salting actually exercised
     assert res_off["n_hot_keys"] == 0
     assert len(e_on) > 0
-    assert e_on == e_off
-    assert v_on == v_off
+    assert e_on == e_off == e_bc
+    assert v_on == v_off == v_bc
