@@ -500,6 +500,133 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def q_events_asof_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-55 as-of join (operators/temporal.py): each event gets the
+    latest order of the same customer at or before the event time —
+    union + carry-forward window, ONE shuffle, no inequality join.
+    Ties: greatest (o_orderdate, o_orderkey) wins (total order)."""
+    from openie_spark.operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ots_us"),
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias(
+            "asof_order_cents"
+        ),
+    )
+    return asof_join(
+        e,
+        o,
+        key="user_id",
+        left_ts="ts_us",
+        right_ts="ots_us",
+        right_vals=["asof_orderkey", "asof_order_cents"],
+        tiebreak=["asof_orderkey"],
+    ).orderBy("event_id")
+
+
+SQL_EVENTS_ASOF_ORDER = """
+SELECT e.user_id, e.event_id, epoch_us(e.ts) AS ts_us,
+       o.o_orderkey AS asof_orderkey,
+       CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS asof_order_cents
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = e.user_id AND epoch_us(o_orderdate) <= epoch_us(e.ts)
+  ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1
+) o ON TRUE
+ORDER BY event_id
+"""
+
+
+def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-55 interval/range join (operators/temporal.py): per user session
+    (>30 min gap rule), how many events of OTHER users fall inside the
+    session's time span — a containment join with NO equi key, run as a
+    banded bucket join (1-hour bands) + exact filter."""
+    from openie_spark.operators.temporal import interval_join_banded
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    gap = F.col("ts_us") - F.lag("ts_us").over(w)
+    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = (
+        e.withColumn("session_seq", F.sum(new_sess).over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_us").alias("start_us"),
+            F.max("ts_us").alias("end_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    pts = e.select(
+        F.col("user_id").alias("p_user"), F.col("ts_us").alias("p_ts")
+    )
+    conc = (
+        interval_join_banded(pts, sessions, "p_ts", "start_us", "end_us")
+        .where(F.col("p_user") != F.col("user_id"))
+        .groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_concurrent"))
+    )
+    return (
+        sessions.join(conc, ["user_id", "session_seq"], "left")
+        .select(
+            "user_id",
+            "session_seq",
+            "n_events",
+            F.coalesce("n_concurrent", F.lit(0)).alias("n_concurrent"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_SESSION_CONCURRENCY = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+),
+marked AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM marked
+),
+sessions AS (
+  SELECT user_id, session_seq, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+),
+conc AS (
+  SELECT s.user_id, s.session_seq, COUNT(*) AS n_concurrent
+  FROM sessions s JOIN e p
+    ON p.ts_us >= s.start_us AND p.ts_us <= s.end_us AND p.user_id <> s.user_id
+  GROUP BY s.user_id, s.session_seq
+)
+SELECT s.user_id, CAST(s.session_seq AS BIGINT) AS session_seq,
+       s.n_events, COALESCE(c.n_concurrent, 0) AS n_concurrent
+FROM sessions s LEFT JOIN conc c
+  ON c.user_id = s.user_id AND c.session_seq = s.session_seq
+ORDER BY s.user_id, s.session_seq
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data operators: dedup / similarity / text analysis (SQL-checked)
 # --------------------------------------------------------------------------
@@ -969,6 +1096,8 @@ QUERIES = {
     "rollup_orders": q_rollup_orders,
     "cube_events": q_cube_events,
     "sessionize": q_sessionize,
+    "events_asof_order": q_events_asof_order,
+    "session_concurrency": q_session_concurrency,
     "fuzzy_match": q_fuzzy_match,
     "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
@@ -1010,6 +1139,8 @@ ORACLE_SQL = {
     "rollup_orders": SQL_ROLLUP_ORDERS,
     "cube_events": SQL_CUBE_EVENTS,
     "sessionize": SQL_SESSIONIZE,
+    "events_asof_order": SQL_EVENTS_ASOF_ORDER,
+    "session_concurrency": SQL_SESSION_CONCURRENCY,
     "fuzzy_match": SQL_FUZZY_MATCH,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
