@@ -149,6 +149,14 @@ def main() -> int:
 
     # -- training-data operators -------------------------------------------
     timed(
+        "events_asof_order",
+        lambda: force(registry.q_events_asof_order(spark, sf_dir)),
+    )
+    timed(
+        "session_concurrency",
+        lambda: force(registry.q_session_concurrency(spark, sf_dir)),
+    )
+    timed(
         "minhash_dedup",
         lambda: force(minhash_dup_pairs(documents, "doc_id", "text", 0.8)),
     )

@@ -51,6 +51,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="skip informational count() actions (fewer jobs)")
     ap.add_argument("--no-invariant", action="store_true",
                     help="skip the in-run span-invariant scan (pytest gates it)")
+    ap.add_argument("--no-broadcast-canon", action="store_true",
+                    help="use the salted shuffle joins instead of "
+                         "broadcasting the mention→canonical map "
+                         "(for 1e9+ distinct-mention vocabularies)")
+    ap.add_argument("--lineage-cut", default=None,
+                    choices=("local", "reliable", "none"),
+                    help="stage-boundary lineage policy "
+                         "(spark.openie.lineageCut); 'reliable' checkpoints "
+                         "to <output>/_checkpoints for multi-executor fault "
+                         "tolerance")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -61,6 +71,13 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark(app=f"kg-{args.run_id}", master=args.master)
     try:
+        if args.lineage_cut:
+            spark.conf.set("spark.openie.lineageCut", args.lineage_cut)
+            if args.lineage_cut == "reliable":
+                spark.conf.set(
+                    "spark.openie.checkpointDir",
+                    str(Path(args.output) / "_checkpoints"),
+                )
         docs = load_docs(spark, args.input)
         aliases = load_alias_dict(spark, args.alias_dict)
         cfg = PipelineConfig(
@@ -71,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             stages=stages,
             collect_counts=not args.no_counts,
             check_invariant=not args.no_invariant,
+            broadcast_canon=not args.no_broadcast_canon,
         )
         res = run_pipeline(spark, docs, aliases, ParquetCatalog(spark, args.output), cfg)
         print(json.dumps(res, default=str))

@@ -3,41 +3,50 @@
 ``localCheckpoint`` truncates lineage into executor-local, NON-replicated
 blocks: the recompute-avoidance is free in this single-JVM sandbox, but on a
 real multi-executor cluster a single lost executor makes every downstream
-stage unrecoverable.  All pipeline lineage cuts therefore go through this
-seam, configured by ``spark.openie.lineageCut``:
+stage unrecoverable.  All pipeline lineage cuts go through this seam,
+configured by ``spark.openie.lineageCut``:
 
-  - ``local``   (default): ``localCheckpoint`` — fastest, sandbox/dev and
-    clusters where task retry is an acceptable recovery story;
-  - ``persist``: ``persist(MEMORY_AND_DISK)`` — keeps the lineage graph, so
-    a lost block is recomputed from source instead of killing the job; the
-    right setting at the 1000-executor posture;
-  - ``none``: no cut at all (debugging; iterative plans will re-analyze).
-
-Reliable ``checkpoint()`` (HDFS-replicated) is deliberately not offered
-here: it needs ``setCheckpointDir`` on shared storage and doubles the write
-volume — clusters that want it should persist + write the stage table via
-the catalog instead (the pipeline already materializes every stage).
+  - ``local`` (default): ``localCheckpoint`` — fastest; sandbox/dev, and
+    clusters where rerunning the stage is an acceptable recovery story;
+  - ``reliable``: ``checkpoint`` to the replicated checkpoint directory
+    (``spark.openie.checkpointDir`` must point at shared storage) — a lost
+    executor costs nothing; the right setting at the 1000-executor posture;
+  - ``none``: no cut at all.  ONLY for straight-line debugging: the
+    iterative stages (connected components) grow their logical plan every
+    round without a cut, and plain ``persist`` has the same flaw (it caches
+    data but does NOT truncate the plan — a persist-based mode hung the CC
+    loop in testing, which is why it does not exist here).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.storagelevel import StorageLevel
 
 CONF_KEY = "spark.openie.lineageCut"
+CKPT_DIR_KEY = "spark.openie.checkpointDir"
 
 
 def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
-    """Truncate (or checkpoint-tag) a stage boundary per the session conf."""
+    """Truncate a stage-boundary lineage per the session conf."""
+    spark = df.sparkSession
     try:
-        mode = df.sparkSession.conf.get(CONF_KEY, "local")
+        mode = spark.conf.get(CONF_KEY, "local")
     except Exception:
         mode = "local"
     if mode == "none":
         return df
-    if mode == "persist":
-        out = df.persist(StorageLevel.MEMORY_AND_DISK)
-        if eager:
-            out.count()
-        return out
+    if mode == "reliable":
+        sc = spark.sparkContext
+        if not sc._jsc.sc().getCheckpointDir().isDefined():
+            try:
+                ckdir = spark.conf.get(CKPT_DIR_KEY, "")
+            except Exception:
+                ckdir = ""
+            if not ckdir:
+                raise RuntimeError(
+                    f"{CONF_KEY}=reliable requires {CKPT_DIR_KEY} (a shared "
+                    "checkpoint directory) or a prior setCheckpointDir call"
+                )
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

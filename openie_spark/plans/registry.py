@@ -488,6 +488,42 @@ FROM nation CROSS JOIN region ORDER BY n_name, r_name
 """
 
 
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DISCRETE percentiles (percentile_disc WITHIN GROUP) of the
+    event value per event_type.  Discrete (not interpolated) because it
+    returns an actual data value — bit-exact across engines on the
+    milli-unit bigints, where the continuous variant's fractional
+    interpolation weights would not be."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)"
+            ).alias("p50_milli"),
+            F.expr(
+                "CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY v) AS BIGINT)"
+            ).alias("p90_milli"),
+            F.min("v").alias("min_milli"),
+            F.max("v").alias("max_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_PERCENTILES = """
+WITH e AS (SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events)
+SELECT event_type, COUNT(*) AS n,
+       CAST(quantile_disc(v, 0.5) AS BIGINT) AS p50_milli,
+       CAST(quantile_disc(v, 0.9) AS BIGINT) AS p90_milli,
+       MIN(v) AS min_milli, MAX(v) AS max_milli
+FROM e GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-62 approx_count_distinct (HLL++) next to the exact count — the
     10^12-scale cardinality-estimate pattern.  Sketch values are
@@ -1099,6 +1135,7 @@ QUERIES = {
     "events_asof_order": q_events_asof_order,
     "session_concurrency": q_session_concurrency,
     "fuzzy_match": q_fuzzy_match,
+    "value_percentiles": q_value_percentiles,
     "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,
@@ -1142,6 +1179,7 @@ ORACLE_SQL = {
     "events_asof_order": SQL_EVENTS_ASOF_ORDER,
     "session_concurrency": SQL_SESSION_CONCURRENCY,
     "fuzzy_match": SQL_FUZZY_MATCH,
+    "value_percentiles": SQL_VALUE_PERCENTILES,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "lang_id": SQL_LANG_ID,
     "quality_scores": SQL_QUALITY_SCORES,
