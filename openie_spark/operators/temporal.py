@@ -49,6 +49,11 @@ def asof_join(
     ``how='inner'`` drops left rows with no prior right row."""
     tiebreak = tiebreak or []
     l_payload = [c for c in left.columns if c != key]
+    overlap = set(l_payload) & set(right_vals + tiebreak)
+    if overlap:
+        raise ValueError(
+            f"asof_join: rename right-side columns colliding with left: {sorted(overlap)}"
+        )
     l = left.withColumn("_t", F.col(left_ts).cast("long")).withColumn(
         "_s", F.lit(1)
     )

@@ -38,6 +38,12 @@ for r in sorted(map(repr, triples.collect())):
     h.update(r.encode())
 for r in sorted(map(repr, links.collect())):
     h.update(r.encode())
+# the temporal joins rely on explicit total orders for tie-breaks — hash
+# them across parallelism levels too
+from openie_spark.plans.registry import QUERIES
+for name in ("events_asof_order", "session_concurrency"):
+    for r in sorted(map(repr, QUERIES[name](spark, "/root/testdata/sf0.01").collect())):
+        h.update(r.encode())
 print("HASH:" + h.hexdigest())
 spark.stop()
 """
