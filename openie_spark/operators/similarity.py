@@ -200,6 +200,8 @@ def _ivf_centroids(
         .limit(n_centroids)
         .collect()
     )
+    if not seeds:  # empty corpus → no cells (caller returns empty result)
+        return np.zeros((0, 0), dtype=np.float64)
     c = np.asarray([[float(x) for x in r["v"]] for r in seeds], dtype=np.float64)
     norms = np.linalg.norm(c, axis=1)
     norms[norms == 0] = 1.0
@@ -254,6 +256,11 @@ def ivf_topk(
     window.  Higher recall than SRP when the corpus is clusterable (cells
     adapt to the data; hyperplanes don't)."""
     cmat = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
+    if cmat.shape[0] == 0:  # empty corpus → empty result, same schema
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
+        )
     probe = ivf_cells_udf(cmat, nprobe)
     index = ivf_cells_udf(cmat, 1)
     q = queries.select(

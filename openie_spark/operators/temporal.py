@@ -43,45 +43,87 @@ def asof_join(
     wins — pass a unique column for full determinism).
 
     Plan shape: tag-and-union both sides, sort within the key partition by
-    (ts, side, tiebreak), carry each right value forward with
-    ``last(ignorenulls)`` over an unbounded-preceding frame, keep left
-    rows.  One hash shuffle on ``key``; no inequality join anywhere.
-    ``how='inner'`` drops left rows with no prior right row."""
+    (ts, side, tiebreak), carry the matched right row forward as ONE
+    struct with ``last(ignorenulls)`` over an unbounded-preceding frame,
+    keep left rows.  The struct carry is load-bearing for correctness:
+    carrying the right columns individually would mix values from
+    DIFFERENT right rows whenever a right value is NULL (last(ignorenulls)
+    would skip back further for that column only).  Right rows with NULL
+    ``right_ts`` are excluded — "as of" is undefined for them, matching
+    the ``right_ts <= left_ts`` predicate of the SQL formulation.  One
+    hash shuffle on ``key``; no inequality join anywhere.  ``how='inner'``
+    drops left rows with no prior right row."""
+    from pyspark.sql.types import StructField, StructType
+
     tiebreak = tiebreak or []
     l_payload = [c for c in left.columns if c != key]
-    overlap = set(l_payload) & set(right_vals + tiebreak)
+    rv_all = list(dict.fromkeys(right_vals + tiebreak))
+    overlap = set(l_payload) & set(rv_all)
     if overlap:
         raise ValueError(
             f"asof_join: rename right-side columns colliding with left: {sorted(overlap)}"
         )
-    l = left.withColumn("_t", F.col(left_ts).cast("long")).withColumn(
-        "_s", F.lit(1)
+    rv_type = StructType(
+        [StructField(c, right.schema[c].dataType, True) for c in rv_all]
     )
-    for c in right_vals:
-        l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    for c in tiebreak:
-        if c not in right_vals:
-            l = l.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
-    r = right.select(
-        F.col(key),
-        F.col(right_ts).cast("long").alias("_t"),
-        *dict.fromkeys(right_vals + tiebreak),
-    ).withColumn("_s", F.lit(0))
+    l = (
+        left.withColumn("_t", F.col(left_ts).cast("long"))
+        .withColumn("_s", F.lit(1))
+        .withColumn("_rv", F.lit(None).cast(rv_type))
+    )
+    r = (
+        right.where(F.col(right_ts).isNotNull())
+        .select(
+            F.col(key),
+            F.col(right_ts).cast("long").alias("_t"),
+            F.struct(*[F.col(c) for c in rv_all]).alias("_rv"),
+        )
+        .withColumn("_s", F.lit(0))
+    )
     for c in l_payload:
         r = r.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    cols = [key, "_t", "_s"] + l_payload + list(dict.fromkeys(right_vals + tiebreak))
+    cols = [key, "_t", "_s", "_rv"] + l_payload
     u = l.select(*cols).unionByName(r.select(*cols))
     w = (
         Window.partitionBy(key)
-        .orderBy(F.col("_t").asc(), F.col("_s").asc(), *[F.col(c).asc() for c in tiebreak])
+        .orderBy(
+            F.col("_t").asc(),
+            F.col("_s").asc(),
+            *[F.col("_rv").getField(c).asc() for c in tiebreak],
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    for c in right_vals:
-        u = u.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    out = u.where(F.col("_s") == 1).drop("_t", "_s", *[c for c in tiebreak if c not in right_vals])
+    u = u.withColumn("_rv", F.last("_rv", ignorenulls=True).over(w))
+    out = u.where(F.col("_s") == 1)
     if how == "inner":
-        out = out.where(F.col(right_vals[0]).isNotNull())
-    return out.select(key, *l_payload, *right_vals)
+        out = out.where(F.col("_rv").isNotNull())
+    return out.select(
+        key,
+        *l_payload,
+        *[F.col("_rv").getField(c).alias(c) for c in right_vals],
+    )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def with_session_seq(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_us",
+    order_cols: tuple = (),
+    gap_us: int = SESSION_GAP_US,
+) -> DataFrame:
+    """Lag-window session splitting — THE single definition of the
+    session-gap rule, shared by the batch queries (registry ``sessionize``
+    / ``session_concurrency``), the batch twin of the streaming operator
+    (streaming/stateful.py), and — via ``SESSION_GAP_US`` — the stateful
+    stream itself.  Adds a ``session_seq`` column (1-based per user)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, *order_cols)
+    gap = F.col(ts_col) - F.lag(ts_col).over(w)
+    new_sess = (gap.isNull() | (gap > gap_us)).cast("int")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    return events.withColumn("session_seq", F.sum(new_sess).over(run))
 
 
 def interval_join_banded(

@@ -212,7 +212,10 @@ def run_pipeline(
         # one explode-projection scan of triples (not a 2x union of
         # projections): subj_norm and arg_norm rows come out of the same
         # pass, and hot_keys itself derives its total from the grouped
-        # counts — triples is read exactly once for hot-key detection
+        # counts — triples is read exactly once for hot-key detection.
+        # Skipped entirely when the canonical map is broadcast: a
+        # broadcast hash join never shuffles the big side, so the hot
+        # list would be dead diagnostics bought with a full triples scan.
         hot = (
             hot_keys(
                 triples.select(
@@ -221,7 +224,7 @@ def run_pipeline(
                 "k",
                 cfg.hot_share,
             )
-            if cfg.use_manual_salt
+            if cfg.use_manual_salt and not cfg.broadcast_canon
             else []
         )
         t1 = salted_join(

@@ -417,20 +417,17 @@ ORDER BY event_type, hod
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization: per-user event sessions split at >30 min gaps —
-    lag window + running sum of session-start markers (OP-70/72 family)."""
+    """Sessionization: per-user event sessions split at gap > SESSION_GAP_US
+    — THE shared lag-window rule (temporal.with_session_seq; same constant
+    drives the stateful streaming twin), OP-70/72 family."""
+    from openie_spark.operators.temporal import with_session_seq
+
     e = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    gap = F.col("ts_us") - F.lag("ts_us").over(w)
-    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("int")
-    run = Window.partitionBy("user_id").orderBy("ts_us", "event_id").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    sess = e.withColumn("session_seq", F.sum(new_sess).over(run))
+    sess = with_session_seq(e, order_cols=("event_id",))
     return (
         sess.groupBy("user_id", "session_seq")
         .agg(
@@ -443,12 +440,18 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSIONIZE = """
+def _session_gap_us() -> int:
+    from openie_spark.operators.temporal import SESSION_GAP_US
+
+    return SESSION_GAP_US
+
+
+SQL_SESSIONIZE = f"""
 WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
 marked AS (
   SELECT user_id, event_id, ts_us,
          CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
-                OR ts_us - LAG(ts_us) OVER w > 30 * 60 * 1000000
+                OR ts_us - LAG(ts_us) OVER w > {_session_gap_us()}
               THEN 1 ELSE 0 END AS new_sess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
@@ -586,19 +589,18 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>30 min gap rule), how many events of OTHER users fall inside the
     session's time span — a containment join with NO equi key, run as a
     banded bucket join (1-hour bands) + exact filter."""
-    from openie_spark.operators.temporal import interval_join_banded
+    from openie_spark.operators.temporal import (
+        interval_join_banded,
+        with_session_seq,
+    )
 
     e = load(spark, sf_dir, "events").select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    gap = F.col("ts_us") - F.lag("ts_us").over(w)
-    new_sess = (gap.isNull() | (gap > 30 * 60 * 1_000_000)).cast("int")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
     sessions = (
-        e.withColumn("session_seq", F.sum(new_sess).over(run))
+        with_session_seq(e, order_cols=("event_id",))
         .groupBy("user_id", "session_seq")
         .agg(
             F.min("ts_us").alias("start_us"),
@@ -627,14 +629,14 @@ def q_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_SESSION_CONCURRENCY = """
+SQL_SESSION_CONCURRENCY = f"""
 WITH e AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
 ),
 marked AS (
   SELECT user_id, event_id, ts_us,
          CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
-                OR ts_us - LAG(ts_us) OVER w > 30 * 60 * 1000000
+                OR ts_us - LAG(ts_us) OVER w > {_session_gap_us()}
               THEN 1 ELSE 0 END AS new_sess
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
 ),
@@ -1032,18 +1034,33 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     session splitting with cross-batch state, run to completion with
     Trigger.AvailableNow over the events table and read back from the
     exactly-once parquet sink.  Rows-only; batch-twin equality and
-    cross-run state carry are gated in tests/unit/test_streaming.py."""
-    import tempfile
+    cross-run state carry are gated in tests/unit/test_streaming.py.
 
+    The stream run is a build-once cache under .fixtures (deterministic:
+    same input → same closed-session set) — a tempdir per invocation would
+    leak a corpus copy every call, and a timed-out awaitTermination must
+    fail loudly rather than silently returning a partial sink."""
     from openie_spark.streaming.stateful import stream_sessions
 
-    events = load(spark, sf_dir, "events").select("user_id", "ts")
-    base = tempfile.mkdtemp(prefix="openie-stream-sess-")
-    in_dir, ck, out = f"{base}/in", f"{base}/ck", f"{base}/out"
-    events.write.mode("overwrite").parquet(in_dir)
-    q = stream_sessions(spark, in_dir, events.schema, ck, out)
-    q.awaitTermination(300)
-    return spark.read.parquet(out).orderBy("user_id", "session_start_us")
+    def _build(base: Path) -> None:
+        events = load(spark, sf_dir, "events").select("user_id", "ts")
+        in_dir, ck, out = str(base / "in"), str(base / "ck"), str(base / "out")
+        events.write.mode("overwrite").parquet(in_dir)
+        q = stream_sessions(spark, in_dir, events.schema, ck, out)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_sessions did not drain within 600s")
+
+    name = f"stream_sessions_{Path(sf_dir).name}"
+    base = store.FIXTURE_DIR / name
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        _build(base)
+        marker.touch()
+    return spark.read.parquet(str(base / "out")).orderBy(
+        "user_id", "session_start_us"
+    )
 
 
 def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:

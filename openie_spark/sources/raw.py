@@ -61,11 +61,20 @@ def ingest_text_dir(spark: SparkSession, path: str, glob: str = "*.txt") -> Data
         .text(f"{path}/{glob}")
         .withColumn("_file", F.input_file_name())
     )
-    # strip everything through the ingest root, then one trailing extension;
-    # regexp_replace leaves the input unchanged when the pattern misses, so
-    # extension-less names survive intact
-    root = path.rstrip("/")
-    rel = F.regexp_replace(F.col("_file"), r"^.*?" + _re_quote(root) + "/", "")
+    # input_file_name() yields a percent-ENCODED file URI, so the prefix to
+    # strip is the root's own URI form (Path.as_uri applies the same
+    # percent-encoding) — comparing against the raw path string would miss
+    # any root containing spaces/special characters and leave the full URI
+    # as the doc_id.  After stripping the anchored prefix, one trailing
+    # extension is removed.  The remainder stays percent-encoded on
+    # purpose: encoding is injective, so ids never collide, whereas
+    # form-decoding (url_decode) maps '+' to ' ' and could merge distinct
+    # names.  A miss leaves the input unchanged, so extension-less names
+    # survive intact.
+    from pathlib import Path as _Path
+
+    prefix = _re_quote(_Path(path).resolve().as_uri() + "/")
+    rel = F.regexp_replace(F.col("_file"), "^" + prefix, "")
     doc_id = F.regexp_replace(rel, r"\.[^./]+$", "")
     return raw.select(
         doc_id.alias("doc_id"),

@@ -10,13 +10,18 @@ every user stays open in the state store — the batch twin used by the
 tests therefore compares against "all sessions except each user's final
 one" under the identical gap rule.
 
-Determinism: events are processed in ts order inside the function (sorted
-explicitly — micro-batch arrival order is NOT trusted), ties on equal
-timestamps collapse into the same session regardless of order, and the
-state tuple is a pure function of the event multiset seen so far — so a
-one-batch run and any split of the input into successive
-``Trigger.AvailableNow`` runs over the same checkpoint emit the same
-closed-session set (asserted in tests/unit/test_streaming.py).
+Ordering semantics (stated precisely — the earlier claim of multiset
+purity was wrong and is retracted): events are sorted by ts INSIDE each
+micro-batch, so arrival order within a batch never matters.  ACROSS
+batches, equality with the batch twin is guaranteed when batch boundaries
+respect event time (the availableNow file-backlog case the tests pin).  A
+cross-batch late event that lands inside the OPEN session's span (or
+within the gap before it) is merged monotonically — ``start`` may move
+down, ``last``/``n`` never move backwards — so state is never corrupted
+into negative spans or bogus splits; a late event older than the open
+session's reach would need event-time watermark timeouts to re-open
+closed sessions and is out of scope for the NoTimeout design (it starts
+or extends sessions as if current).
 """
 
 from __future__ import annotations
@@ -28,9 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import LongType, StructField, StructType
-from pyspark.sql.window import Window
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # same gap as the batch sessionize
+from openie_spark.operators.temporal import SESSION_GAP_US, with_session_seq
 
 SESSION_OUT_SCHEMA = StructType(
     [
@@ -72,7 +76,12 @@ def _session_fn(
             closed.append((key[0], start, last, n))
             start, last, n = t, t, 1
         else:
-            last = t
+            # monotone merge: a cross-batch late event inside (or within
+            # gap of) the open session extends it DOWNWARD only via start;
+            # last never moves backwards, so spans stay valid and a later
+            # event cannot see a false gap
+            start = min(start, t)
+            last = max(last, t)
             n += 1
     if last is not None:
         state.update((start, last, n))
@@ -122,16 +131,13 @@ def stream_sessions(
 
 
 def closed_sessions_batch(events: DataFrame) -> DataFrame:
-    """Batch twin: identical gap rule via lag-window; drops each user's
-    LAST session (the one the stream keeps open in state)."""
+    """Batch twin: identical gap rule via the SHARED lag-window helper
+    (temporal.with_session_seq); drops each user's LAST session (the one
+    the stream keeps open in state)."""
     e = events.select(
         "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us")
-    gap = F.col("ts_us") - F.lag("ts_us").over(w)
-    new_sess = (gap.isNull() | (gap > SESSION_GAP_US)).cast("int")
-    run = w.rowsBetween(Window.unboundedPreceding, 0)
-    sess = e.withColumn("session_seq", F.sum(new_sess).over(run))
+    sess = with_session_seq(e)
     agg = sess.groupBy("user_id", "session_seq").agg(
         F.min("ts_us").alias("session_start_us"),
         F.max("ts_us").alias("session_end_us"),

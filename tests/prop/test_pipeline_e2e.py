@@ -18,7 +18,13 @@ def pipeline_result(spark, golden_docs_path, alias_dict_path, tmp_path_factory):
     cat = ParquetCatalog(spark, str(root))
     docs = load_docs(spark, golden_docs_path)
     aliases = load_alias_dict(spark, alias_dict_path)
-    res = run_pipeline(spark, docs, aliases, cat, PipelineConfig(run_id="e2e"))
+    # broadcast_canon=False: the e2e gate exercises the salted SHUFFLE
+    # join path + hot-key detection (the broadcast path is covered by
+    # test_salted_join_equivalence's three-way equality)
+    res = run_pipeline(
+        spark, docs, aliases, cat,
+        PipelineConfig(run_id="e2e", broadcast_canon=False),
+    )
     return res, cat
 
 

@@ -62,6 +62,16 @@ def test_ingest_text_dir_subdirs_do_not_collide(spark, tmp_path):
     assert ids == {"sub1/doc", "sub2/doc"}
 
 
+def test_ingest_text_dir_root_with_space(spark, tmp_path):
+    """input_file_name() percent-encodes the URI; the root prefix must be
+    matched in its encoded form or the whole URI leaks into doc_id."""
+    d = tmp_path / "my docs"
+    d.mkdir()
+    (d / "doc1.txt").write_text("hello world.")
+    df = ingest_text_dir(spark, str(d))
+    assert [r["doc_id"] for r in df.collect()] == ["doc1"]
+
+
 def test_ingest_text_dir_extensionless_keeps_name(spark, tmp_path):
     """Extension-less files must keep their full name, not collapse to an
     empty doc_id."""

@@ -106,3 +106,40 @@ def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
     # closed at least one session that STARTED before the cut
     run2_only = set(got) - out1
     assert any(s[1] <= cut for s in run2_only)
+
+
+def test_stateful_fn_monotone_merge_on_late_events():
+    """Cross-batch late events inside the open session must merge without
+    moving the session end backwards (the state-corruption case: end <
+    start spans / false gap splits)."""
+    import pandas as pd
+
+    from openie_spark.streaming.stateful import SESSION_GAP_US, _session_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = FakeState()
+    mkpdf = lambda ts: pd.DataFrame({"ts_us": ts})
+    # batch 1: open session spanning [0, 600s]
+    out1 = list(_session_fn((7,), iter([mkpdf([0, 600_000_000])]), st))
+    assert out1 == [] and st.get == (0, 600_000_000, 2)
+    # batch 2: a LATE event at 300s (inside the open span) plus an event
+    # past the gap — the closed session must cover the true span [0, 600s]
+    late, nxt = 300_000_000, 600_000_000 + SESSION_GAP_US + 1
+    out2 = list(_session_fn((7,), iter([mkpdf([late, nxt])]), st))
+    assert len(out2) == 1
+    assert out2[0].iloc[0].tolist() == [7, 0, 600_000_000, 3]
+    assert st.get == (nxt, nxt, 1)

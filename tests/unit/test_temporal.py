@@ -44,6 +44,30 @@ def test_asof_semantics(spark):
     assert got[(3, "d")] == (None, None)  # key absent on the right
 
 
+def test_asof_null_right_values_do_not_mix_rows(spark):
+    """The matched right row must be carried ATOMICALLY: when the newest
+    right row has a NULL value column, per-column carry would splice in an
+    older row's value — the struct carry must return the actual row."""
+    left = spark.createDataFrame([(1, 100, "x")], "k bigint, ts bigint, tag string")
+    right = spark.createDataFrame(
+        [(1, 10, 5, "old"), (1, 20, None, "new")],
+        "k bigint, rts bigint, a int, b string",
+    )
+    (row,) = asof_join(left, right, "k", "ts", "rts", ["a", "b"]).collect()
+    assert (row["a"], row["b"]) == (None, "new")  # the ts=20 row, verbatim
+
+
+def test_asof_null_right_ts_excluded(spark):
+    """Right rows with NULL right_ts are not 'as of' anything — they must
+    never match (the naive nulls-first sort would carry them everywhere)."""
+    left = spark.createDataFrame([(1, 100, "x")], "k bigint, ts bigint, tag string")
+    right = spark.createDataFrame(
+        [(1, None, 9, "phantom")], "k bigint, rts bigint, a int, b string"
+    )
+    (row,) = asof_join(left, right, "k", "ts", "rts", ["a", "b"]).collect()
+    assert (row["a"], row["b"]) == (None, None)
+
+
 def test_asof_inner_drops_unmatched(spark):
     got = asof_join(
         _left(spark), _right(spark), "k", "ts", "rts", ["rid"],
