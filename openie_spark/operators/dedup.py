@@ -319,3 +319,26 @@ def ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")
     )
+
+
+def near_dup_groups(
+    df: DataFrame, id_col: str, text_col: str, threshold: float = 0.8
+) -> DataFrame:
+    """Near-duplicate CLUSTERS, not just pairs: the MinHash-LSH pair graph
+    is closed transitively with the same large-star/small-star connected
+    components the KG canonicalizer uses, giving (id, keeper_id) for every
+    document in a near-dup cluster (keeper = min id; singletons omitted).
+
+    Cluster-level retention (keep the keeper, drop the rest) is the policy
+    large training corpora actually apply — pairwise emission alone
+    under-deduplicates transitive chains A~B~C where A and C never share a
+    bucket.  All building blocks are the existing scale-shaped operators:
+    banded bucket join for pairs, O(log n)-round DataFrame CC for closure.
+    """
+    from openie_spark.operators.components import connected_components
+
+    pairs = minhash_dup_pairs(df, id_col, text_col, threshold)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    return connected_components(edges).select(
+        F.col("id").alias(id_col), F.col("rep").alias("keeper_id")
+    )

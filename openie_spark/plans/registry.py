@@ -951,6 +951,17 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dup_pairs(d, "doc_id", "text", 0.8).orderBy("id_a", "id_b")
 
 
+def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level near-dup retention: the MinHash-LSH pair graph closed
+    transitively with the DataFrame connected-components operator →
+    (doc_id, keeper_id) per clustered doc.  Rows-only (probabilistic
+    blocking); the transitive-closure gate is tests/unit/test_dedup.py."""
+    from openie_spark.operators.dedup import near_dup_groups
+
+    d = load(spark, sf_dir, "documents")
+    return near_dup_groups(d, "doc_id", "text", 0.8).orderBy("doc_id")
+
+
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (64-bit, Hamming ≤ 3 via pigeonhole chunk
     join).  Hash family not expressible in DuckDB → rows-only."""
@@ -1160,6 +1171,7 @@ QUERIES = {
     "embedding_stats": q_embedding_stats,
     "ann_topk": q_ann_topk,
     "minhash_dedup": q_minhash_dedup,
+    "minhash_dedup_groups": q_minhash_dedup_groups,
     "simhash_dedup": q_simhash_dedup,
     "ann_topk_srp": q_ann_topk_srp,
     "ann_topk_ivf": q_ann_topk_ivf,

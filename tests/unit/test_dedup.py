@@ -123,3 +123,33 @@ def test_minhash_scale_shape(spark, corpus):
     plan = minhash_dup_pairs(corpus, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_near_dup_groups_transitive_closure(spark):
+    """A~B and B~C above threshold with A~C below it: pairwise emission
+    leaves {A,C} separate; the cluster operator must close the chain into
+    one group with keeper = min id."""
+    from openie_spark.operators.dedup import near_dup_groups
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa")
+    # middle-token edits each touch 3 word-3-gram shingles: A~B and B~C
+    # stay at 11/17 ≈ 0.65 ≥ 0.5 while A~C drops to 8/20 = 0.40 < 0.5
+    a = base.replace("echo", "zulu")
+    c = base.replace("lima", "quebec")
+    df = spark.createDataFrame(
+        [(1, a), (2, base), (3, c), (4, "totally unrelated text here")],
+        "doc_id bigint, text string",
+    )
+    pair_ids = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_dup_pairs(df, "doc_id", "text", 0.5).collect()
+    }
+    assert (1, 2) in pair_ids and (2, 3) in pair_ids
+    assert (1, 3) not in pair_ids  # the chain is NOT closed pairwise
+
+    groups = {
+        r["doc_id"]: r["keeper_id"]
+        for r in near_dup_groups(df, "doc_id", "text", 0.5).collect()
+    }
+    assert groups == {1: 1, 2: 1, 3: 1}  # closed; keeper = min id; 4 absent
