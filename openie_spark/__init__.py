@@ -13,4 +13,6 @@ checkpoint/lineage table for idempotent resume.
 
 __version__ = "0.1.0"
 
-RULESET_VERSION = "v1"
+# single source of truth for the ruleset version is the frozen spec —
+# re-exported here for convenience, never defined independently
+from openie_spark.spec.rules import RULESET_VERSION as RULESET_VERSION  # noqa: E402

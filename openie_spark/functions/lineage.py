@@ -48,5 +48,17 @@ def cut_lineage(df: DataFrame, eager: bool = False) -> DataFrame:
                     "checkpoint directory) or a prior setCheckpointDir call"
                 )
             sc.setCheckpointDir(ckdir)
-        return df.checkpoint(eager=eager)
+        # Reliable checkpoints have Spark's classic double-computation: the
+        # checkpoint write is a SECOND job that recomputes the RDD from
+        # scratch unless it is cached.  Persist around an eager checkpoint
+        # (the cache is dropped as soon as the checkpoint files exist), and
+        # force eager — a lazy reliable cut would recompute at first action
+        # AND at checkpoint time, doubling per-round work in exactly the
+        # multi-executor posture this mode targets.
+        df = df.persist()
+        try:
+            out = df.checkpoint(eager=True)
+        finally:
+            df.unpersist()
+        return out
     return df.localCheckpoint(eager=eager)

@@ -29,14 +29,43 @@ from openie_spark.functions import minhash as mh
 from openie_spark.functions.lineage import cut_lineage
 
 
-def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Exact duplicate groups by content hash; keeper = min id."""
+MAX_MEMBERS = 100  # bound on the per-group members sample (see exact_dedup)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, max_members: int = MAX_MEMBERS
+) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id.
+
+    ``members`` is a bounded SAMPLE of the group (the ``max_members``
+    smallest ids): an unbounded ``collect_list`` is an executor-OOM hazard
+    at corpus scale — one pathological group (e.g. empty documents) can
+    hold 10^8 ids.  The bound is enforced BEFORE aggregation with a
+    window-rank filter, not by slicing the collected array (a post-hoc
+    ``slice(collect_list(...))`` still materializes the whole group in the
+    non-spillable agg buffer; the window sort, by contrast, spills).  The
+    window and the groupBy share the same key, so Catalyst reuses ONE
+    exchange — no extra shuffle.  ``group_size`` is always the exact full
+    count (a full-partition window count, computed pre-filter); consumers
+    needing every member of a giant group should anti-join the corpus
+    against keepers instead of widening the cap."""
+    from pyspark.sql.window import Window
+
+    base = df.select(
+        F.md5(F.col(text_col)).alias("content_hash"), F.col(id_col).alias("_id")
+    )
+    w_ord = Window.partitionBy("content_hash").orderBy("_id")
+    w_all = Window.partitionBy("content_hash")
+    ranked = base.withColumn("_rn", F.row_number().over(w_ord)).withColumn(
+        "_gs", F.count("*").over(w_all)
+    )
     return (
-        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        ranked.where(F.col("_rn") <= max_members)
+        .groupBy("content_hash")
         .agg(
-            F.min(id_col).alias("keeper_id"),
-            F.count("*").alias("group_size"),
-            F.sort_array(F.collect_list(id_col)).alias("members"),
+            F.min("_id").alias("keeper_id"),
+            F.max("_gs").alias("group_size"),
+            F.sort_array(F.collect_list("_id")).alias("members"),
         )
     )
 

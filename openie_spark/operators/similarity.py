@@ -257,9 +257,23 @@ def ivf_topk(
     adapt to the data; hyperplanes don't)."""
     cmat = _ivf_centroids(corpus, id_col, vec_col, n_centroids)
     if cmat.shape[0] == 0:  # empty corpus → empty result, same schema
+        from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+        # derive id dtypes from the inputs so the empty-corpus schema matches
+        # the non-empty path for any id type (srp/brute derive types likewise)
         spark = corpus.sparkSession
+        id_t = corpus.schema[id_col].dataType
+        q_id_t = queries.schema[id_col].dataType
         return spark.createDataFrame(
-            [], "query_id bigint, neighbor_id bigint, rank int, cosine double"
+            [],
+            StructType(
+                [
+                    StructField("query_id", q_id_t, True),
+                    StructField("neighbor_id", id_t, True),
+                    StructField("rank", IntegerType(), True),
+                    StructField("cosine", DoubleType(), True),
+                ]
+            ),
         )
     probe = ivf_cells_udf(cmat, nprobe)
     index = ivf_cells_udf(cmat, 1)

@@ -63,6 +63,12 @@ def asof_join(
         raise ValueError(
             f"asof_join: rename right-side columns colliding with left: {sorted(overlap)}"
         )
+    reserved = {"_t", "_s", "_rv"} & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            "asof_join: internal column names are reserved, rename inputs: "
+            f"{sorted(reserved)}"
+        )
     rv_type = StructType(
         [StructField(c, right.schema[c].dataType, True) for c in rv_all]
     )

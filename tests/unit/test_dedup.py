@@ -48,6 +48,20 @@ def test_exact_dedup_groups(spark, corpus):
     assert rows[4]["group_size"] == 1
 
 
+def test_exact_dedup_members_bounded(spark):
+    """A planted mega-group (every doc identical) must come back with the
+    exact group_size but a members list capped at max_members — the
+    unbounded-collect_list OOM hazard the cap exists to close."""
+    n = 500
+    df = spark.createDataFrame(
+        [(i, "same text") for i in range(n)], "doc_id bigint, text string"
+    )
+    row = exact_dedup(df, "doc_id", "text", max_members=7).collect()[0]
+    assert row["group_size"] == n
+    assert row["keeper_id"] == 0
+    assert row["members"] == [0, 1, 2, 3, 4, 5, 6]  # 7 smallest ids, sorted
+
+
 def test_minhash_pairs_match_bruteforce(spark, corpus):
     """Every emitted pair carries the exact shingle-Jaccard; the exact dup
     pair (identical shingle sets → identical signatures → same buckets)
