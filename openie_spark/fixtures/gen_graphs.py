@@ -7,18 +7,34 @@ Three deterministic shapes with known components:
       they appear in the vertex universe).
 
 Expected representative = min(component).
+
+The module constants below are the SINGLE source of truth for the graph
+shapes: the Python generators AND the DuckDB oracle SQL (``edges_sql`` →
+registry ``connected_components`` oracle) are both derived from them, so
+changing a shape cannot desynchronize operator and oracle (the lang_id
+lockstep pattern, registry.py).
 """
 
 from __future__ import annotations
 
+CHAIN_N = 1000
+CHAIN_BASE = 0
+CLIQUES_K = 50
+CLIQUE_SIZE = 20
+CLIQUES_BASE = 100_000
+STAR_LEAVES = 10_000
+STAR_BASE = 1_000_000
+STAR_ISOLATED = 5
+STAR_ISO_BASE = STAR_BASE + STAR_LEAVES + 10
 
-def chain(n: int = 1000, base: int = 0) -> tuple[list[tuple[int, int]], dict[int, int]]:
+
+def chain(n: int = CHAIN_N, base: int = CHAIN_BASE) -> tuple[list[tuple[int, int]], dict[int, int]]:
     edges = [(base + i, base + i + 1) for i in range(n - 1)]
     expected = {base + i: base for i in range(n)}
     return edges, expected
 
 
-def cliques(k: int = 50, size: int = 20, base: int = 100_000):
+def cliques(k: int = CLIQUES_K, size: int = CLIQUE_SIZE, base: int = CLIQUES_BASE):
     edges, expected = [], {}
     for c in range(k):
         nodes = [base + c * size + i for i in range(size)]
@@ -28,12 +44,12 @@ def cliques(k: int = 50, size: int = 20, base: int = 100_000):
     return edges, expected
 
 
-def star(leaves: int = 10_000, base: int = 1_000_000, isolated: int = 5):
+def star(leaves: int = STAR_LEAVES, base: int = STAR_BASE, isolated: int = STAR_ISOLATED):
     hub = base
     edges = [(hub, base + 1 + i) for i in range(leaves)]
     expected = {hub: hub}
     expected.update({base + 1 + i: hub for i in range(leaves)})
-    iso_base = base + leaves + 10
+    iso_base = STAR_ISO_BASE if base == STAR_BASE and leaves == STAR_LEAVES else base + leaves + 10
     edges.extend((iso_base + i, iso_base + i) for i in range(isolated))  # self-loops
     expected.update({iso_base + i: iso_base + i for i in range(isolated)})
     return edges, expected
@@ -44,3 +60,25 @@ def all_graphs():
     e2, x2 = cliques()
     e3, x3 = star()
     return e1 + e2 + e3, {**x1, **x2, **x3}
+
+
+def edges_sql() -> str:
+    """DuckDB SQL producing EXACTLY the ``all_graphs()`` edge list (as a
+    CTE body), generated from the same shape constants."""
+    return f"""
+  SELECT i AS src, i + 1 AS dst
+  FROM range({CHAIN_BASE}, {CHAIN_BASE + CHAIN_N - 1}) t(i)
+  UNION ALL
+  SELECT {CLIQUES_BASE} + c * {CLIQUE_SIZE} + i AS src,
+         {CLIQUES_BASE} + c * {CLIQUE_SIZE} + j AS dst
+  FROM range(0, {CLIQUES_K}) tc(c),
+       range(0, {CLIQUE_SIZE}) ti(i),
+       range(0, {CLIQUE_SIZE}) tj(j)
+  WHERE i < j
+  UNION ALL
+  SELECT {STAR_BASE} AS src, {STAR_BASE} + 1 + i AS dst
+  FROM range(0, {STAR_LEAVES}) t(i)
+  UNION ALL
+  SELECT {STAR_ISO_BASE} + i AS src, {STAR_ISO_BASE} + i AS dst
+  FROM range(0, {STAR_ISOLATED}) t(i)
+"""

@@ -1144,6 +1144,37 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(df).orderBy("id")
 
 
+def _connected_components_sql() -> str:
+    """DuckDB oracle for the CC query: the SAME fixture edges (generated in
+    SQL from gen_graphs' shape constants — one source of truth) closed by
+    recursive min-label propagation.  The ``lab.r < n.v`` guard propagates
+    only labels smaller than the receiving node, so the recursion's working
+    set stays O(rounds·n) instead of the O(n²)-per-component full
+    reachability closure; MIN over the accumulated labels equals
+    min(component) = the operator's ``rep``."""
+    from openie_spark.fixtures.gen_graphs import edges_sql
+
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({edges_sql()}),
+verts AS (
+  SELECT src AS id FROM edges_raw UNION SELECT dst FROM edges_raw
+),
+nbrs AS (
+  SELECT src AS u, dst AS v FROM edges_raw WHERE src <> dst
+  UNION
+  SELECT dst AS u, src AS v FROM edges_raw WHERE src <> dst
+),
+lab AS (
+  SELECT id, id AS r FROM verts
+  UNION
+  SELECT n.v AS id, lab.r FROM lab JOIN nbrs n ON n.u = lab.id
+  WHERE lab.r < n.v
+)
+SELECT id, MIN(r) AS rep FROM lab GROUP BY id ORDER BY id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1214,4 +1245,5 @@ ORACLE_SQL = {
     "quality_scores": SQL_QUALITY_SCORES,
     "embedding_stats": SQL_EMBEDDING_STATS,
     "ann_topk": SQL_ANN_TOPK,
+    "connected_components": _connected_components_sql(),
 }
