@@ -131,21 +131,34 @@ def minhash_dup_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 64
+SIMHASH_BITS = 128
 HAMMING_K = 3  # candidate pairs within Hamming distance <= 3
 N_CHUNKS = HAMMING_K + 1  # pigeonhole: some chunk must match exactly
+CHUNK_BITS = SIMHASH_BITS // N_CHUNKS  # 32-bit blocking keys
+
+# Why 128-bit (scale posture): the blocking key is one chunk, so bucket
+# population for NON-duplicate text is ~N / 2^CHUNK_BITS per (chunk_idx,
+# chunk_val) bucket and candidate pairs grow with N^2 / 2^CHUNK_BITS.  At
+# 64 bits the chunks were 16-bit → ~15k docs/bucket at 10^9 docs (the
+# round-2 scale-killer finding); at 128 bits the chunks are 32-bit →
+# bucket population stays O(1) up to ~10^9..10^10 docs with the SAME 4x
+# replication factor.  The Hamming budget (<= 3) now spans 128 bits —
+# strictly finer near-dup granularity, standard for content-level SimHash.
 
 
-def _simhash(tokens: list[str]) -> int:
-    """Scalar oracle-reference SimHash (per-row Python).  NOT the hot path —
-    kept as the spec the vectorized batch kernel is asserted bit-identical
-    to (tests/unit/test_simhash_batch.py), same discipline as minhash.py."""
+def _simhash(tokens: list[str]) -> tuple[int, int]:
+    """Scalar oracle-reference SimHash (per-row Python) → (hi, lo) signed
+    int64 halves of the 128-bit signature (hi = bits 64..127).  NOT the
+    hot path — kept as the spec the vectorized batch kernel is asserted
+    bit-identical to (tests/unit/test_simhash_batch.py), same discipline
+    as minhash.py."""
     if not tokens:
-        return 0
+        return (0, 0)
     acc = [0] * SIMHASH_BITS
     for t in set(tokens):
         h = int.from_bytes(
-            hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+            hashlib.blake2b(t.encode(), digest_size=SIMHASH_BITS // 8).digest(),
+            "big",
         )
         for i in range(SIMHASH_BITS):
             acc[i] += 1 if (h >> i) & 1 else -1
@@ -153,37 +166,41 @@ def _simhash(tokens: list[str]) -> int:
     for i in range(SIMHASH_BITS):
         if acc[i] > 0:
             v |= 1 << i
-    return v - (1 << 63)  # signed int64
+    lo = (v & ((1 << 64) - 1)) - (1 << 63)  # signed int64
+    hi = (v >> 64) - (1 << 63)
+    return (hi, lo)
 
 
-_BIT_WEIGHTS = np.uint64(1) << np.arange(SIMHASH_BITS, dtype=np.uint64)
+_N_WORDS = SIMHASH_BITS // 64  # 2 x int64 halves (Spark has no int128)
+_BIT_WEIGHTS = np.uint64(1) << np.arange(64, dtype=np.uint64)
 
 
 def _simhash_batch(
     texts: list[str | None], block_tokens: int = 1 << 19
 ) -> np.ndarray:
-    """(n,) int64 SimHash signatures, numpy-vectorized across an Arrow
-    batch; bit-identical to ``_simhash`` applied per row (empty docs → 0,
-    matching the scalar sentinel).
+    """(n, 2) int64 SimHash signatures [hi, lo], numpy-vectorized across an
+    Arrow batch; bit-identical to ``_simhash`` applied per row (empty docs
+    → (0, 0), matching the scalar sentinel).
 
     Kernel shape (the part that matters at 10^9 docs): each UNIQUE token is
     blake2b-hashed and bit-unpacked once (vocabulary-sized table); postings
     are vocab indices; the per-doc one-bit counts come from a segment sum
-    computed in uint64 *byte lanes* — the 64 uint8 bit columns are viewed
-    as 8 uint64 words, ``np.add.reduceat`` runs over 8 native-dtype columns
-    (measured ~20x faster than reducing 64 uint8 columns with an upcast),
-    and the per-byte partial sums are exact because a doc's unique-token
-    count < 256 in the lane path (docs with ≥ 256 unique tokens take a
-    per-doc numpy fallback).  ``acc = 2·ones − n_tokens`` then sign-pack.
-    ``block_tokens`` bounds the posting working set (~64 MB) regardless of
-    Arrow batch size."""
+    computed in uint64 *byte lanes* — the 128 uint8 bit columns are viewed
+    as 16 uint64 words, ``np.add.reduceat`` runs over native-dtype columns
+    (measured ~20x faster than reducing uint8 columns with an upcast), and
+    the per-byte partial sums are exact because a doc's unique-token count
+    < 256 in the lane path (docs with ≥ 256 unique tokens take a per-doc
+    numpy fallback).  ``acc = 2·ones − n_tokens`` then sign-pack each
+    64-bit half.  ``block_tokens`` bounds the posting working set (~64 MB)
+    regardless of Arrow batch size."""
     n = len(texts)
-    out = np.zeros(n, dtype=np.int64)
+    out = np.zeros((n, _N_WORDS), dtype=np.int64)
     vocab: dict[str, int] = {}  # token → index into the unique-hash table
-    uniq_hashes: list[int] = []
+    uniq_words: list[tuple[int, int]] = []  # (lo64, hi64) per unique token
     idx_flat: list[int] = []  # vocab index per (doc, token) posting
     rows_l: list[int] = []
     counts_l: list[int] = []
+    mask64 = (1 << 64) - 1
     for r, t in enumerate(texts):
         toks = set((t or "").lower().split())
         if not toks:
@@ -193,23 +210,26 @@ def _simhash_batch(
         for tok in toks:
             ix = vocab.get(tok)
             if ix is None:
-                ix = len(uniq_hashes)
+                ix = len(uniq_words)
                 vocab[tok] = ix
-                uniq_hashes.append(
-                    int.from_bytes(
-                        hashlib.blake2b(tok.encode(), digest_size=8).digest(),
-                        "big",
-                    )
+                h = int.from_bytes(
+                    hashlib.blake2b(
+                        tok.encode(), digest_size=SIMHASH_BITS // 8
+                    ).digest(),
+                    "big",
                 )
+                uniq_words.append((h & mask64, h >> 64))
             idx_flat.append(ix)
     if not rows_l:
         return out
-    # unpack each UNIQUE hash once: little-endian uint64 bytes +
-    # bitorder='little' → column k is exactly (h >> k) & 1, matching the
-    # scalar loop's bit indexing
-    hs_uniq = np.array(uniq_hashes, dtype="<u8")
+    # unpack each UNIQUE hash once: per-row [lo64, hi64] little-endian
+    # words + bitorder='little' → column k is exactly (h >> k) & 1 for
+    # k in 0..127, matching the scalar loop's bit indexing
+    hs_uniq = np.array(uniq_words, dtype="<u8")  # (n_uniq, 2): [lo, hi]
     bits_uniq = np.unpackbits(
-        hs_uniq.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+        hs_uniq.view(np.uint8).reshape(-1, SIMHASH_BITS // 8),
+        axis=1,
+        bitorder="little",
     )
     idx = np.array(idx_flat, dtype=np.int64)
     rows = np.array(rows_l, dtype=np.int64)
@@ -223,71 +243,149 @@ def _simhash_batch(
         d1 = max(d1, d0 + 1)
         starts = np.concatenate(([base], ends[d0 : d1 - 1])) - base
         seg_counts = counts[d0:d1]
-        sel = bits_uniq[idx[base : ends[d1 - 1]]]  # (postings, 64) uint8
+        sel = bits_uniq[idx[base : ends[d1 - 1]]]  # (postings, 128) uint8
         if (seg_counts < 256).all():
-            # byte-lane segment sum: 8 uint64 columns, no upcast copy
+            # byte-lane segment sum: 16 uint64 columns, no upcast copy
             part = np.add.reduceat(
                 np.ascontiguousarray(sel).view(np.uint64), starts, axis=0
             )
-            ones = part.view(np.uint8).reshape(d1 - d0, 64).astype(np.int64)
+            ones = part.view(np.uint8).reshape(d1 - d0, SIMHASH_BITS).astype(
+                np.int64
+            )
         else:  # rare: giant docs would overflow the byte lanes
-            ones = np.empty((d1 - d0, 64), dtype=np.int64)
+            ones = np.empty((d1 - d0, SIMHASH_BITS), dtype=np.int64)
             for j in range(d0, d1):
                 s = int(ends[j - 1]) if j > 0 else 0
                 ones[j - d0] = bits_uniq[idx[s : ends[j]]].sum(
                     axis=0, dtype=np.int64
                 )
         acc = 2 * ones - seg_counts[:, None]
-        vals = ((acc > 0).astype(np.uint64) * _BIT_WEIGHTS).sum(
-            axis=1, dtype=np.uint64
-        )
-        # v - 2^63 with uint64 wraparound == two's-complement reinterpret
-        out[rows[d0:d1]] = (vals - (np.uint64(1) << np.uint64(63))).view(np.int64)
+        pos = acc > 0
+        bias = np.uint64(1) << np.uint64(63)
+        # v - 2^63 with uint64 wraparound == XOR of the top bit — a
+        # consistent bias on both halves, cancelled by XOR at verify time
+        lo = (
+            (pos[:, :64].astype(np.uint64) * _BIT_WEIGHTS).sum(
+                axis=1, dtype=np.uint64
+            )
+            - bias
+        ).view(np.int64)
+        hi = (
+            (pos[:, 64:].astype(np.uint64) * _BIT_WEIGHTS).sum(
+                axis=1, dtype=np.uint64
+            )
+            - bias
+        ).view(np.int64)
+        out[rows[d0:d1], 0] = hi
+        out[rows[d0:d1], 1] = lo
         d0 = d1
     return out
 
 
-@pandas_udf(LongType())
+@pandas_udf(ArrayType(LongType()))
 def simhash_udf(text: pd.Series) -> pd.Series:
-    return pd.Series(_simhash_batch(text.tolist()), index=text.index)
+    sigs = _simhash_batch(text.tolist())
+    return pd.Series(list(sigs), index=text.index)
 
 
 def simhash_dup_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = HAMMING_K
 ) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature, pigeonhole chunk join
-    (k+1 chunks of 16 bits), Hamming verify via bit_count(xor)."""
-    sig = df.select(F.col(id_col).alias("id"), simhash_udf(text_col).alias("sig"))
+    """SimHash near-dup pairs: 128-bit signature (two int64 halves),
+    pigeonhole chunk join (k+1 chunks of 32 bits — corpus-size-independent
+    bucket population, see the module constants), Hamming verify via
+    bit_count(xor) summed over both halves."""
+    sig = df.select(
+        F.col(id_col).alias("id"), simhash_udf(text_col).alias("sig_arr")
+    ).select(
+        "id",
+        F.element_at("sig_arr", 1).alias("sig_hi"),
+        F.element_at("sig_arr", 2).alias("sig_lo"),
+    )
+
+    def _chunk_val(c: int):
+        # chunks 0,1 from the lo half (bits 0..63), 2,3 from the hi half;
+        # the top-bit sign bias is uniform across docs so equal-chunk
+        # equality is unaffected
+        src = F.col("sig_lo") if c < 2 else F.col("sig_hi")
+        return F.shiftright(src, (c % 2) * 32).bitwiseAND(F.lit(0xFFFFFFFF))
+
     chunks = sig.select(
         "id",
-        "sig",
+        "sig_hi",
+        "sig_lo",
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(c).alias("chunk_idx"),
-                        F.shiftright("sig", c * 16).bitwiseAND(F.lit(0xFFFF)).alias(
-                            "chunk_val"
-                        ),
+                        _chunk_val(c).alias("chunk_val"),
                     )
                     for c in range(N_CHUNKS)
                 ]
             )
         ).alias("ch"),
-    ).select("id", "sig", "ch.chunk_idx", "ch.chunk_val")
+    ).select("id", "sig_hi", "sig_lo", "ch.chunk_idx", "ch.chunk_val")
     a = chunks.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "chunk_idx", "chunk_val"
+        F.col("id").alias("id_a"),
+        F.col("sig_hi").alias("hi_a"),
+        F.col("sig_lo").alias("lo_a"),
+        "chunk_idx",
+        "chunk_val",
     )
     b = chunks.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "chunk_idx", "chunk_val"
+        F.col("id").alias("id_b"),
+        F.col("sig_hi").alias("hi_b"),
+        F.col("sig_lo").alias("lo_b"),
+        "chunk_idx",
+        "chunk_val",
     )
     return (
         a.join(b, ["chunk_idx", "chunk_val"])
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+            + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))),
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+def _ngram_prefix_postings(toks: DataFrame, threshold: float) -> DataFrame:
+    """Prefix-filter postings (Chaudhuri et al. ICDE 2006 / Bayardo et al.
+    WWW 2007 all-pairs family): order each doc's tokens by the GLOBAL
+    canonical order (document frequency asc, token asc — rarest first) and
+    keep only the first ``n - ceil(t*n) + 1`` tokens.
+
+    LOSSLESS for Jaccard >= t: J >= t implies overlap o >= t*max(|x|,|y|)
+    (from o >= t(|x|+|y|)/(1+t) and o <= min(|x|,|y|)), so o >= ceil(t*|x|)
+    for BOTH sets; the first common token in canonical order is preceded in
+    each set only by non-shared tokens, hence sits at position
+    <= |x| - o + 1 <= |x| - ceil(t*|x|) + 1 — inside both prefixes.  The
+    quadratic per-token self-join then runs on prefixes only, and prefix
+    tokens are by construction the RAREST — the hot-token groups that blow
+    the join up are exactly the ones the prefix excludes.  An epsilon guard
+    on the ceil keeps float round-up from ever SHORTENING a prefix (a
+    longer prefix is safe, a shorter one loses pairs)."""
+    from pyspark.sql.window import Window
+
+    dfr = toks.groupBy("tok").agg(F.count("*").alias("dfr"))
+    sized = toks.join(
+        toks.groupBy("id").agg(F.count("*").alias("n_toks")), "id"
+    ).join(dfr, "tok")
+    w = Window.partitionBy("id").orderBy("dfr", "tok")
+    plen = (
+        F.col("n_toks")
+        - F.ceil(F.lit(threshold) * F.col("n_toks") - F.lit(1e-9))
+        + F.lit(1)
+    )
+    return (
+        sized.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= plen)
+        .select("id", "tok")
     )
 
 
@@ -297,22 +395,30 @@ def ngram_jaccard_pairs(
     text_col: str,
     threshold: float = 0.5,
     max_df_ratio: float = 0.5,
+    max_df_abs: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
-    """Exact token-set Jaccard pairs via the postings-join pattern: explode
-    distinct tokens, self-join on token, count common, divide by union size.
-    Linear in total postings; this is the exact (non-probabilistic) dedup
-    path and the SQL-oracle-checkable one.
+    """Exact token-set Jaccard pairs: candidates from a prefix-filtered
+    postings self-join, verified exactly on the full (pruned) token sets.
+    This is the exact (non-probabilistic) dedup path and the
+    SQL-oracle-checkable one — prefix filtering is lossless (see
+    ``_ngram_prefix_postings``), so the oracle stays the brute-force join.
 
     High-document-frequency pruning (the 100 TB guard): the postings
     self-join is quadratic PER TOKEN GROUP — one stopword shared by 10^8
-    docs is 10^16 candidate rows.  Tokens appearing in more than
-    ``max_df_ratio`` of the documents are dropped from the token sets
-    before the join (they contribute least to Jaccard discrimination —
-    the prefix-filtering family of optimizations).  The high-DF token set
-    is tiny by construction (bounded by 1/max_df_ratio distinct values
-    carrying that much mass is impossible for most, in practice it is the
-    stopword list), so it broadcasts and the prune is a broadcast
-    anti-join, not a shuffle.  ``max_df_ratio >= 1.0`` disables pruning
+    docs is 10^16 candidate rows.  Two complementary caps REMOVE tokens
+    from the token sets (changing the Jaccard universe, mirrored in the
+    oracle):
+      - ``max_df_ratio``: tokens in more than this fraction of docs (the
+        stopword list; bounded count, broadcasts);
+      - ``max_df_abs``: tokens in more than this many docs ABSOLUTELY —
+        the ratio cap alone is scale-unsafe (a token in 1% of 10^9 docs
+        is 10^7 postings → ~10^14 candidate rows); an absolute cap makes
+        the worst-case per-token join corpus-size-independent.
+    ``prefix_filter`` then shrinks candidates WITHOUT changing results:
+    surviving medium-DF tokens are excluded from candidate generation
+    whenever they fall outside a doc's rarest-first prefix.
+    ``max_df_ratio >= 1.0`` with ``max_df_abs=None`` disables pruning
     (pure full-set Jaccard)."""
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -320,30 +426,48 @@ def ngram_jaccard_pairs(
             "tok"
         ),
     ).where(F.col("tok") != "")
-    if max_df_ratio < 1.0:
+    if max_df_ratio < 1.0 or max_df_abs is not None:
         n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+        cap = F.floor(F.lit(max_df_ratio) * F.col("n_docs"))
+        if max_df_abs is not None:
+            cap = F.least(cap, F.lit(int(max_df_abs)))
         hot_toks = (
             toks.groupBy("tok")
             .agg(F.count("*").alias("dfr"))  # (id, tok) rows are distinct
             .crossJoin(F.broadcast(n_docs))
-            .where(F.col("dfr") > F.floor(F.lit(max_df_ratio) * F.col("n_docs")))
+            .where(F.col("dfr") > cap)
             .select("tok")
         )
         toks = toks.join(F.broadcast(hot_toks), "tok", "left_anti")
-    sizes = toks.groupBy("id").agg(F.count("*").alias("n_toks"))
-    a = toks.select(F.col("id").alias("id_a"), "tok")
-    b = toks.select(F.col("id").alias("id_b"), "tok")
-    common = (
+    cand_toks = _ngram_prefix_postings(toks, threshold) if prefix_filter else toks
+    a = cand_toks.select(F.col("id").alias("id_a"), "tok")
+    b = cand_toks.select(F.col("id").alias("id_b"), "tok")
+    pairs = (
         a.join(b, "tok")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
     )
+    # exact verify on the full pruned token SETS (prefix candidates alone
+    # cannot count overlap): token arrays are doc-bounded, same payload
+    # class as the shingle arrays elsewhere in this module
+    sets = toks.groupBy("id").agg(F.collect_set("tok").alias("tokset"))
     return (
-        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n_toks").alias("na")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("n_toks").alias("nb")), "id_b")
+        pairs.join(
+            sets.select(F.col("id").alias("id_a"), F.col("tokset").alias("set_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("tokset").alias("set_b")),
+            "id_b",
+        )
         .withColumn(
-            "jaccard", F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+            "n_common", F.size(F.array_intersect("set_a", "set_b")).cast("long")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.size("set_a") + F.size("set_b") - F.col("n_common")),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_common", "jaccard")

@@ -671,18 +671,30 @@ ORDER BY s.user_id, s.session_seq
 
 
 NGRAM_MAX_DF_RATIO = 0.8  # tokens in > 80% of docs are pruned pre-join
+# absolute DF cap (the scale-safe complement to the ratio cap): chosen not
+# to bind at driver scale (50-doc sample) so the query's known-good hash is
+# preserved while the operator + oracle both exercise the LEAST(ratio, abs)
+# plumbing end-to-end
+NGRAM_MAX_DF_ABS = 1000
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram (token-set) Jaccard dedup pairs via the postings-join
-    pattern with high-DF token pruning (dedup.py) — restricted to a 10% doc
-    sample because the driver corpus is small-vocabulary bag-of-words
-    (every doc shares tokens)."""
+    """Exact n-gram (token-set) Jaccard dedup pairs: prefix-filtered
+    candidate join + exact verify with ratio+absolute high-DF pruning
+    (dedup.py) — restricted to a 10% doc sample because the driver corpus
+    is small-vocabulary bag-of-words (every doc shares tokens).  The
+    prefix filter is lossless, so the oracle is the brute-force join with
+    only the DF pruning mirrored."""
     from openie_spark.operators.dedup import ngram_jaccard_pairs
 
     d = load(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0)
     return ngram_jaccard_pairs(
-        d, "doc_id", "text", 0.5, max_df_ratio=NGRAM_MAX_DF_RATIO
+        d,
+        "doc_id",
+        "text",
+        0.5,
+        max_df_ratio=NGRAM_MAX_DF_RATIO,
+        max_df_abs=NGRAM_MAX_DF_ABS,
     ).orderBy("id_a", "id_b")
 
 
@@ -697,7 +709,7 @@ toks2 AS (SELECT id, tok FROM toks WHERE tok <> ''),
 nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM d),
 hot AS (
   SELECT tok FROM (SELECT tok, COUNT(*) AS dfr FROM toks2 GROUP BY tok), nd
-  WHERE dfr > FLOOR({NGRAM_MAX_DF_RATIO!r} * n_docs)
+  WHERE dfr > LEAST(FLOOR({NGRAM_MAX_DF_RATIO!r} * n_docs), {NGRAM_MAX_DF_ABS})
 ),
 pruned AS (SELECT id, tok FROM toks2 WHERE tok NOT IN (SELECT tok FROM hot)),
 sizes AS (SELECT id, COUNT(*) AS n FROM pruned GROUP BY id),

@@ -88,6 +88,29 @@ def test_simhash_identical_docs_hamming_zero(spark, corpus):
     assert (1, 4) not in got
 
 
+def test_simhash_bucket_fanin_bounded(spark):
+    """Scale-posture gate for the 32-bit chunk keyspace: 2000 DISTINCT
+    random docs must produce (near-)zero candidate pairs — expected
+    collisions C(2000,2)/2^32 ≈ 0.002 per chunk.  Under the old 16-bit
+    chunks the same corpus drew ~C(2000,2)/2^16 ≈ 30 pairs PER CHUNK
+    (≈120 total), the quadratic growth the widening exists to stop.
+    max_hamming=128 disables the verify filter so the count IS the raw
+    candidate-pair fan-in; a planted duplicate must still surface."""
+    import random
+
+    rng = random.Random(42)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(10**9)}" for _ in range(10)))
+        for i in range(2000)
+    ]
+    rows.append((5000, rows[0][1]))  # planted exact duplicate of doc 0
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    cand = simhash_dup_pairs(df, "doc_id", "text", max_hamming=128).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in cand}
+    assert pairs.get((0, 5000)) == 0  # duplicate found, hamming 0
+    assert len(pairs) <= 5, f"candidate fan-in too high: {len(pairs)}"
+
+
 def test_ngram_jaccard_exact(spark, corpus):
     """max_df_ratio=1.0 disables pruning → pure full-set Jaccard."""
     got = {
@@ -130,6 +153,84 @@ def test_ngram_jaccard_high_df_pruning(spark):
     # n*(n-1)/2 pairs (the quadratic blow-up the pruning exists to stop)
     unpruned = ngram_jaccard_pairs(df, "doc_id", "text", 0.0, max_df_ratio=1.0)
     assert unpruned.count() == n * (n - 1) // 2
+
+
+def test_ngram_jaccard_abs_df_cap(spark):
+    """max_df_abs must bind even when the ratio cap would not: a token in
+    30% of docs passes max_df_ratio=0.5 but exceeds max_df_abs=5 and is
+    pruned, dissolving every pair it alone created."""
+    n = 30
+    # docs 0..8 share 'semi' (df=9 > 5); each doc also has 2 unique tokens
+    rows = [
+        (i, ("semi " if i < 9 else "") + f"u{i}a u{i}b") for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with_cap = ngram_jaccard_pairs(
+        df, "doc_id", "text", 0.2, max_df_ratio=0.5, max_df_abs=5
+    )
+    assert with_cap.count() == 0  # 'semi' pruned → no shared tokens at all
+    without_cap = ngram_jaccard_pairs(
+        df, "doc_id", "text", 0.2, max_df_ratio=0.5, max_df_abs=None
+    )
+    assert without_cap.count() == 9 * 8 // 2  # J = 1/5 >= 0.2 via 'semi'
+
+
+def test_ngram_prefix_filter_lossless(spark):
+    """Prefix filtering must change the CANDIDATE set only, never the
+    result: same corpus, prefix on vs off, identical pairs + values."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(0, 60, 2):
+        toks = rng.sample(vocab, rng.randint(6, 12))
+        rows.append((i, " ".join(toks)))
+        # mutated sibling: drop one token, add one — guarantees a spread of
+        # high-jaccard pairs alongside the random low ones
+        sib = toks[1:] + [rng.choice(vocab)]
+        rows.append((i + 1, " ".join(sib)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for t in (0.3, 0.5, 0.7):
+        on = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", t, max_df_ratio=1.0, prefix_filter=True
+            ).collect()
+        }
+        off = {
+            (r["id_a"], r["id_b"]): (r["n_common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                df, "doc_id", "text", t, max_df_ratio=1.0, prefix_filter=False
+            ).collect()
+        }
+        assert on == off and len(on) > 0
+
+
+def test_ngram_prefix_bounds_candidates(spark):
+    """A medium-DF token below both DF caps but OUTSIDE every rarest-first
+    prefix must generate zero candidate pairs — the prefix filter's whole
+    point: the join never sees the hot token group."""
+    from openie_spark.operators.dedup import _ngram_prefix_postings
+
+    n = 40
+    # every doc: one shared 'com' (df=40, last in rarest-first order) and
+    # two unique tokens; t=0.5 over 3 tokens → prefix len = 3-2+1 = 2 →
+    # prefix = the two unique tokens, 'com' excluded everywhere
+    rows = [(i, f"com u{i}a u{i}b") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    toks = df.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("tok"),
+    )
+    prefix = _ngram_prefix_postings(toks, 0.5)
+    assert prefix.where(F.col("tok") == "com").count() == 0
+    assert prefix.count() == 2 * n
+    # and the full operator agrees: J = 1/5 < 0.5 for every pair anyway
+    assert (
+        ngram_jaccard_pairs(df, "doc_id", "text", 0.5, max_df_ratio=1.0).count()
+        == 0
+    )
 
 
 def test_minhash_scale_shape(spark, corpus):

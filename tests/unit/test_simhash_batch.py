@@ -10,8 +10,12 @@ from hypothesis import strategies as st
 from openie_spark.operators.dedup import _simhash, _simhash_batch
 
 
-def _scalar(text: str | None) -> int:
+def _scalar(text: str | None) -> tuple[int, int]:
     return _simhash((text or "").lower().split())
+
+
+def _pair(row) -> tuple[int, int]:
+    return (int(row[0]), int(row[1]))
 
 
 def test_batch_matches_scalar_fixed():
@@ -29,9 +33,9 @@ def test_batch_matches_scalar_fixed():
     ]
     got = _simhash_batch(texts)
     for i, t in enumerate(texts):
-        assert int(got[i]) == _scalar(t), t
-    assert int(got[7]) == int(got[8])  # set semantics
-    assert int(got[4]) == 0 and int(got[5]) == 0
+        assert _pair(got[i]) == _scalar(t), t
+    assert _pair(got[7]) == _pair(got[8])  # set semantics
+    assert _pair(got[4]) == (0, 0) and _pair(got[5]) == (0, 0)
 
 
 def test_batch_tiny_blocks_and_giant_doc_fallback():
@@ -40,13 +44,13 @@ def test_batch_tiny_blocks_and_giant_doc_fallback():
     texts = [f"doc {i} shares some tokens token_{i % 7}" for i in range(50)]
     got = _simhash_batch(texts, block_tokens=16)  # force many blocks
     for i, t in enumerate(texts):
-        assert int(got[i]) == _scalar(t)
+        assert _pair(got[i]) == _scalar(t)
 
     giant = " ".join(f"tok{i}" for i in range(400))  # > 255 unique tokens
     mix = [giant, "small doc here", giant + " extra", "", None]
     got = _simhash_batch(mix)
     for i, t in enumerate(mix):
-        assert int(got[i]) == _scalar(t)
+        assert _pair(got[i]) == _scalar(t)
 
 
 @settings(max_examples=200, deadline=None)
@@ -55,4 +59,4 @@ def test_batch_property(texts):
     got = _simhash_batch(texts)
     assert len(got) == len(texts)
     for i, t in enumerate(texts):
-        assert int(got[i]) == _scalar(t)
+        assert _pair(got[i]) == _scalar(t)
