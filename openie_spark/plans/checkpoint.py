@@ -35,6 +35,16 @@ from openie_spark.spec.rules import RULESET_VERSION
 CHECKPOINT_TABLE = "checkpoint"
 
 
+# Sentinel partition_id for STAGE-LEVEL checkpoint rows.  Extract is
+# resumable per doc-bucket; link/canonicalize/materialize outputs are
+# GLOBAL (mention-vocabulary / component-level — not doc-partitionable),
+# so their unit of resume is the whole stage: one 'done' row with
+# partition_id = -1, keyed on the same (run_id, stage, input_fingerprint,
+# ruleset) invalidation tuple.  Losing a worker mid-stage costs at most
+# that one stage's recompute from its already-materialized inputs.
+STAGE_SENTINEL_PID = -1
+
+
 def with_partition_id(docs: DataFrame, n_buckets: int) -> DataFrame:
     return docs.withColumn(
         "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_buckets)).cast("int")
@@ -49,6 +59,18 @@ def input_fingerprint(docs: DataFrame) -> str:
         F.sum(
             F.xxhash64("doc_id", span_fingerprint_col()).cast("decimal(38,0)")
         ).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}"
+
+
+def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> str:
+    """Order-insensitive exact fingerprint over arbitrary columns — the
+    generic form of ``input_fingerprint`` for non-document stage inputs
+    (e.g. the alias dictionary feeding the link stage)."""
+    cols = cols or df.columns
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
 
@@ -86,6 +108,40 @@ def resume_filter(
     if done is None:
         return docs_with_pid
     return docs_with_pid.join(F.broadcast(done), "partition_id", "left_anti")
+
+
+def stage_done(
+    cat: ParquetCatalog, run_id: str, stage: str, fingerprint: str
+) -> bool:
+    """True when a stage-level 'done' row (sentinel partition) exists for
+    this exact (run_id, stage, input_fingerprint, ruleset)."""
+    done = done_partitions(cat, run_id, stage, fingerprint)
+    if done is None:
+        return False
+    return (
+        done.where(F.col("partition_id") == STAGE_SENTINEL_PID).limit(1).count()
+        > 0
+    )
+
+
+def record_stage_done(
+    cat: ParquetCatalog,
+    run_id: str,
+    stage: str,
+    fingerprint: str,
+    n_in: int,
+    n_out: int,
+    wall_ms: int,
+) -> None:
+    """Append the single stage-level 'done' row (partition_id sentinel).
+    ``n_in``/``n_out`` of -1 mean 'not counted' (collect_counts=False
+    runs skip informational count actions)."""
+    spark = cat.spark
+    stats = spark.createDataFrame(
+        [(STAGE_SENTINEL_PID, int(n_in), int(n_out))],
+        "partition_id int, n_in long, n_triples long",
+    )
+    record_done(cat, run_id, stage, fingerprint, stats, wall_ms)
 
 
 def record_done(

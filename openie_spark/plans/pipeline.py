@@ -128,38 +128,99 @@ def run_pipeline(
     if "link" not in cfg.stages:
         return out
 
-    # ---- link stage --------------------------------------------------------
+    # ---- stage-level resume fingerprints ----------------------------------
+    # Downstream stages are GLOBAL computations (mention vocabulary /
+    # component graph), so their resume unit is the stage (sentinel
+    # checkpoint row, ckpt.STAGE_SENTINEL_PID).  Fingerprints chain: link
+    # depends on the docs AND the alias dict; canonicalize + materialize
+    # are deterministic functions of the link output, so they share the
+    # link fingerprint — any upstream change invalidates all of them.
+    alias_fp = ckpt.table_fingerprint(alias_dict)
+    link_fp = f"{fingerprint}+{alias_fp}"
+
+    # ---- link stage (stage-level checkpointed, resumable) -----------------
+    link_done = ckpt.stage_done(cat, cfg.run_id, "link", link_fp) and cat.exists(
+        "links"
+    )
     with ckpt.StageTimer() as t_link:
         mentions = mentions_from_triples(triples)
-        links = cut_lineage(link_mentions(mentions, alias_dict), eager=True)
-        cat.write_table(links, "links")
+        if link_done:
+            links = cat.load_table("links")
+        else:
+            links = cut_lineage(link_mentions(mentions, alias_dict), eager=True)
+            cat.write_table(links, "links")
     if cfg.collect_counts:
         out["n_links"] = links.count()
+    if not link_done:
+        ckpt.record_stage_done(
+            cat,
+            cfg.run_id,
+            "link",
+            link_fp,
+            -1,
+            out.get("n_links", -1),
+            t_link.wall_ms,
+        )
     out["link_wall_ms"] = t_link.wall_ms
+    out["link_skipped"] = link_done
     if "canonicalize" not in cfg.stages:
         return out
 
-    # ---- canonicalize ------------------------------------------------------
+    # ---- canonicalize (stage-level checkpointed, resumable) ---------------
+    canon_done = ckpt.stage_done(
+        cat, cfg.run_id, "canonicalize", link_fp
+    ) and cat.exists("cc_assign")
     with ckpt.StageTimer() as t_canon:
-        mention_nodes = links.select(
-            F.xxhash64("mention_norm").alias("src"),
-            F.col("entity_id").alias("dst"),
-            "method",
-        )
-        sameas = mention_nodes.where(F.col("method") != "minted").select("src", "dst")
-        self_loops = mention_nodes.where(F.col("method") == "minted").select(
-            F.col("dst").alias("src"), F.col("dst").alias("dst")
-        )
-        cc = connected_components(sameas.unionByName(self_loops))
-        cc = cut_lineage(cc, eager=True)
-        cat.write_table(cc, "cc_assign")
+        if canon_done:
+            cc = cat.load_table("cc_assign")
+        else:
+            mention_nodes = links.select(
+                F.xxhash64("mention_norm").alias("src"),
+                F.col("entity_id").alias("dst"),
+                "method",
+            )
+            sameas = mention_nodes.where(F.col("method") != "minted").select(
+                "src", "dst"
+            )
+            self_loops = mention_nodes.where(F.col("method") == "minted").select(
+                F.col("dst").alias("src"), F.col("dst").alias("dst")
+            )
+            cc = connected_components(sameas.unionByName(self_loops))
+            cc = cut_lineage(cc, eager=True)
+            cat.write_table(cc, "cc_assign")
     if cfg.collect_counts:
         out["n_components"] = cc.select("rep").distinct().count()
+    if not canon_done:
+        ckpt.record_stage_done(
+            cat,
+            cfg.run_id,
+            "canonicalize",
+            link_fp,
+            -1,
+            out.get("n_components", -1),
+            t_canon.wall_ms,
+        )
     out["canonicalize_wall_ms"] = t_canon.wall_ms
+    out["canonicalize_skipped"] = canon_done
     if "materialize" not in cfg.stages:
         return out
 
-    # ---- materialize vertices + edges ---------------------------------------
+    # ---- materialize vertices + edges (stage-level checkpointed) ----------
+    mat_done = (
+        ckpt.stage_done(cat, cfg.run_id, "materialize", link_fp)
+        and cat.exists("vertices")
+        and cat.exists("edges")
+    )
+    if mat_done:
+        with ckpt.StageTimer() as t_mat:
+            hot = []
+        if cfg.collect_counts:
+            out["n_vertices"] = cat.load_table("vertices").count()
+            out["n_edges"] = cat.load_table("edges").count()
+        out["n_hot_keys"] = 0
+        out["materialize_wall_ms"] = t_mat.wall_ms
+        out["materialize_skipped"] = True
+        return out
     with ckpt.StageTimer() as t_mat:
         # node table: mention nodes + dict entity nodes
         mention_counts = mentions.groupBy("mention_norm").agg(
@@ -259,6 +320,16 @@ def run_pipeline(
     if cfg.collect_counts:
         out["n_vertices"] = cat.load_table("vertices").count()
         out["n_edges"] = cat.load_table("edges").count()
+    ckpt.record_stage_done(
+        cat,
+        cfg.run_id,
+        "materialize",
+        link_fp,
+        -1,
+        out.get("n_edges", -1),
+        t_mat.wall_ms,
+    )
     out["n_hot_keys"] = len(hot)
     out["materialize_wall_ms"] = t_mat.wall_ms
+    out["materialize_skipped"] = False
     return out

@@ -105,6 +105,57 @@ def test_resume_idempotent(spark, golden_docs_path, alias_dict_path, tmp_path):
     assert r3["extract_pending_docs"] > 0
 
 
+def test_stage_resume_kill_after_link(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """North-rule gate (stage-level resume beyond extract): a run killed
+    after the link stage must, on resume, skip extract AND link and produce
+    vertices/edges byte-identical to an uninterrupted run; a further rerun
+    skips every stage; a changed alias dict invalidates link and everything
+    downstream."""
+    cat_full = ParquetCatalog(spark, str(tmp_path / "full"))
+    cat_kill = ParquetCatalog(spark, str(tmp_path / "kill"))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+
+    run_pipeline(spark, docs, aliases, cat_full, PipelineConfig(run_id="w"))
+    v_full = sorted(map(tuple, cat_full.load_table("vertices").collect()))
+    e_full = sorted(map(tuple, cat_full.load_table("edges").collect()))
+
+    # "crash" after link: only extract + link ran before the run died
+    r1 = run_pipeline(
+        spark, docs, aliases, cat_kill,
+        PipelineConfig(run_id="w", stages=("extract", "link")),
+    )
+    assert r1["link_skipped"] is False
+
+    # resume: extract + link are skipped, the rest computes
+    r2 = run_pipeline(spark, docs, aliases, cat_kill, PipelineConfig(run_id="w"))
+    assert r2["extract_pending_docs"] == 0
+    assert r2["link_skipped"] is True
+    assert r2["canonicalize_skipped"] is False
+    assert r2["materialize_skipped"] is False
+    assert sorted(map(tuple, cat_kill.load_table("vertices").collect())) == v_full
+    assert sorted(map(tuple, cat_kill.load_table("edges").collect())) == e_full
+
+    # a fully-completed run resumes as a no-op on every stage
+    r3 = run_pipeline(spark, docs, aliases, cat_kill, PipelineConfig(run_id="w"))
+    assert r3["extract_pending_docs"] == 0
+    assert r3["link_skipped"] and r3["canonicalize_skipped"]
+    assert r3["materialize_skipped"]
+    assert sorted(map(tuple, cat_kill.load_table("vertices").collect())) == v_full
+
+    # changed alias dict → link fingerprint mismatch → link + downstream
+    # recompute (extract untouched: its fingerprint is docs-only)
+    aliases_changed = aliases.where(F.col("entity_id") % 7 != 0)
+    r4 = run_pipeline(
+        spark, docs, aliases_changed, cat_kill, PipelineConfig(run_id="w")
+    )
+    assert r4["extract_pending_docs"] == 0
+    assert r4["link_skipped"] is False
+    assert r4["canonicalize_skipped"] is False
+
+
 def test_partial_resume_only_missing_partitions(
     spark, golden_docs_path, alias_dict_path, tmp_path
 ):
