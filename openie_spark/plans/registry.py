@@ -1052,29 +1052,45 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_pos")
 
 
+STREAM_TIMEOUT_DELAY_MS = 60_000
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    session splitting with cross-batch state, run to completion with
-    Trigger.AvailableNow over the events table and read back from the
-    exactly-once parquet sink.  Rows-only; batch-twin equality and
-    cross-run state carry are gated in tests/unit/test_streaming.py.
+    session splitting with cross-batch state AND event-time timeout (a
+    60 s watermark closes idle users' final sessions in the trailing
+    no-data batch), run to completion with Trigger.AvailableNow over the
+    events table and read back from the exactly-once parquet sink.
+    Rows-only; batch-twin equality (both timeout modes) and cross-run
+    state carry are gated in tests/unit/test_streaming.py.
 
-    The stream run is a build-once cache under .fixtures (deterministic:
-    same input → same closed-session set) — a tempdir per invocation would
-    leak a corpus copy every call, and a timed-out awaitTermination must
-    fail loudly rather than silently returning a partial sink."""
+    The stream run is a build-once cache under .fixtures keyed on a
+    CONTENT fingerprint of the events input (count + xxhash sum), so a
+    regenerated events table — or two sf dirs sharing a basename — can
+    never silently serve stale sessions; a timed-out awaitTermination
+    fails loudly rather than returning a partial sink."""
+    from openie_spark.plans.checkpoint import table_fingerprint
     from openie_spark.streaming.stateful import stream_sessions
 
+    events = load(spark, sf_dir, "events").select("user_id", "ts")
+    digest = table_fingerprint(events).replace(":", "_").replace("-", "n")
+
     def _build(base: Path) -> None:
-        events = load(spark, sf_dir, "events").select("user_id", "ts")
         in_dir, ck, out = str(base / "in"), str(base / "ck"), str(base / "out")
         events.write.mode("overwrite").parquet(in_dir)
-        q = stream_sessions(spark, in_dir, events.schema, ck, out)
+        q = stream_sessions(
+            spark,
+            in_dir,
+            events.schema,
+            ck,
+            out,
+            timeout_delay_ms=STREAM_TIMEOUT_DELAY_MS,
+        )
         if not q.awaitTermination(600):
             q.stop()
             raise RuntimeError("stream_sessions did not drain within 600s")
 
-    name = f"stream_sessions_{Path(sf_dir).name}"
+    name = f"stream_sessions_{Path(sf_dir).name}_{digest}"
     base = store.FIXTURE_DIR / name
     marker = base / "_SUCCESS"
     if not marker.exists():

@@ -108,17 +108,81 @@ def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
     assert any(s[1] <= cut for s in run2_only)
 
 
-def test_stateful_fn_monotone_merge_on_late_events():
-    """Cross-batch late events inside the open session must merge without
-    moving the session end backwards (the state-corruption case: end <
-    start spans / false gap splits)."""
+def test_stateful_sessionize_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout: an idle user's final session must emit once the
+    watermark passes its gap horizon (fired in the trailing no-data batch
+    of the availableNow run), matching the timeout-aware batch twin; a
+    session whose horizon is still ahead of the watermark stays open."""
+    import datetime
+
+    from openie_spark.streaming.stateful import (
+        closed_sessions_batch,
+        stream_sessions,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(mins):
+        return base + datetime.timedelta(minutes=mins)
+
+    rows = [
+        (1, t(0)), (1, t(5)),       # session A — closed by gap (session B)
+        (1, t(120)), (1, t(125)),   # session B — horizon past watermark? no
+        (2, t(10)),                 # idle user — closed ONLY by timeout
+        (3, t(124)),                # near stream end — must stay open
+    ]
+    events = spark.createDataFrame(rows, "user_id bigint, ts timestamp")
+    ind, ck, out = (str(tmp_path / x) for x in ("in", "ck", "out"))
+    events.write.parquet(ind)
+    q = stream_sessions(
+        spark, ind, events.schema, ck, out, timeout_delay_ms=60_000
+    )
+    assert q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, closed_sessions_batch(events, 60_000).collect()))
+    assert got == want
+    users_closed = {r[0] for r in got}
+    assert 2 in users_closed      # idle session closed by the timeout
+    assert 3 not in users_closed  # still open: horizon ahead of watermark
+    assert len([r for r in got if r[0] == 1]) == 1  # only session A closed
+
+
+def test_stateful_sessionize_timeout_matches_twin_on_corpus(spark, tmp_path):
+    """Timeout path over the real events table: stream == timeout-aware
+    batch twin, and strictly MORE sessions close than under NoTimeout
+    (the idle-final-session population)."""
+    from openie_spark.streaming.stateful import (
+        closed_sessions_batch,
+        stream_sessions,
+    )
+
+    events = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    ind, ck, out = (str(tmp_path / x) for x in ("in", "ck", "out"))
+    events.coalesce(2).write.parquet(ind)
+    q = stream_sessions(
+        spark, ind, events.schema, ck, out, timeout_delay_ms=60_000
+    )
+    assert q.awaitTermination(180)
+    got = sorted(map(tuple, spark.read.parquet(out).collect()))
+    want = sorted(map(tuple, closed_sessions_batch(events, 60_000).collect()))
+    assert got == want
+    n_notimeout = closed_sessions_batch(events).count()
+    assert len(got) > n_notimeout
+
+
+def test_stateful_fn_late_event_before_open_session_closes_separately():
+    """Round-2 advice case: a cross-batch late event older than
+    start - gap must form its own CLOSED session, not be absorbed into the
+    open one (which would produce a session with an internal gap larger
+    than SESSION_GAP_US)."""
     import pandas as pd
 
     from openie_spark.streaming.stateful import SESSION_GAP_US, _session_fn
 
     class FakeState:
-        def __init__(self):
-            self._v = None
+        def __init__(self, v=None):
+            self._v = v
+            self.hasTimedOut = False
 
         @property
         def exists(self):
@@ -130,6 +194,51 @@ def test_stateful_fn_monotone_merge_on_late_events():
 
         def update(self, v):
             self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            raise RuntimeError("NoTimeout mode")
+
+    big = 10 * SESSION_GAP_US
+    st = FakeState((big, big + 1_000_000, 3))  # open session far in the future
+    late = 1_000  # ancient late event, way before start - gap
+    out = list(_session_fn((9,), iter([pd.DataFrame({"ts_us": [late]})]), st))
+    assert len(out) == 1
+    assert out[0].iloc[0].tolist() == [9, late, late, 1]  # own closed session
+    assert st.get == (big, big + 1_000_000, 3)  # open session untouched
+
+
+def test_stateful_fn_monotone_merge_on_late_events():
+    """Cross-batch late events inside the open session must merge without
+    moving the session end backwards (the state-corruption case: end <
+    start spans / false gap splits)."""
+    import pandas as pd
+
+    from openie_spark.streaming.stateful import SESSION_GAP_US, _session_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            raise RuntimeError("NoTimeout mode")  # mirrors the real API
 
     st = FakeState()
     mkpdf = lambda ts: pd.DataFrame({"ts_us": ts})
