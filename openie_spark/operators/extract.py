@@ -58,6 +58,8 @@ def extract_stage_pandas(docs: DataFrame) -> DataFrame:
             F.col("t.arg_norm").alias("arg_norm"),
             F.col("t.conf").alias("conf"),
             F.col("t.clause_type").alias("clause_type"),
+            F.col("t.deps").alias("deps"),
+            F.col("t.conj").alias("conj"),
         )
         .withColumn("ruleset", F.lit(RULESET_VERSION))
     )
@@ -87,6 +89,8 @@ def _extract_record_batches(batches):
             pa.field("arg_norm", pa.string(), nullable=False),
             pa.field("conf", pa.float64(), nullable=False),
             pa.field("clause_type", pa.string(), nullable=False),
+            pa.field("deps", pa.string(), nullable=False),
+            pa.field("conj", pa.int32(), nullable=False),
         ]
     )
     for batch in batches:
@@ -98,7 +102,7 @@ def _extract_record_batches(batches):
         kinds = spans.values.field("kind").to_pylist()
         texts = spans.values.field("text").to_pylist()
         o_doc, o_sent, o_subj, o_rel, o_arg = [], [], [], [], []
-        o_sn, o_an, o_conf, o_ct = [], [], [], []
+        o_sn, o_an, o_conf, o_ct, o_dp, o_cj = [], [], [], [], [], []
         for i, doc_id in enumerate(doc_ids):
             lo, hi = offs[i], offs[i + 1]
             for t in extract_pairs(zip(kinds[lo:hi], texts[lo:hi])):
@@ -111,6 +115,8 @@ def _extract_record_batches(batches):
                 o_an.append(t.arg_norm)
                 o_conf.append(t.conf)
                 o_ct.append(t.clause_type)
+                o_dp.append(t.deps)
+                o_cj.append(t.conj)
         yield pa.RecordBatch.from_arrays(
             [
                 pa.array(o_doc, pa.string()),
@@ -122,6 +128,8 @@ def _extract_record_batches(batches):
                 pa.array(o_an, pa.string()),
                 pa.array(o_conf, pa.float64()),
                 pa.array(o_ct, pa.string()),
+                pa.array(o_dp, pa.string()),
+                pa.array(o_cj, pa.int32()),
             ],
             schema=out_fields,
         )

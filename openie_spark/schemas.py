@@ -57,6 +57,8 @@ TRIPLE_STRUCT = StructType(
         StructField("arg_norm", StringType(), False),
         StructField("conf", DoubleType(), False),
         StructField("clause_type", StringType(), False),  # SV|SVC|SVO|SVA (v2)
+        StructField("deps", StringType(), False),  # v3 dependency arcs
+        StructField("conj", IntegerType(), False),  # v3: 1 = conj-expanded
     ]
 )
 

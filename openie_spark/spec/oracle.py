@@ -39,6 +39,8 @@ def oracle_triples(docs: list[dict]) -> list[dict]:
                     "arg_norm": t.arg_norm,
                     "conf": t.conf,
                     "clause_type": t.clause_type,
+                    "deps": t.deps,
+                    "conj": t.conj,
                     "ruleset": RULESET_VERSION,
                 }
             )

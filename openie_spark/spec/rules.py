@@ -1,4 +1,4 @@
-"""Rule set v2 — the frozen executable specification of triple extraction.
+"""Rule set v3 — the frozen executable specification of triple extraction.
 
 This module is the stand-in for the absent reference (SURVEY.md §0): the
 reference tree at /root/reference was empty, so "match the reference's
@@ -14,6 +14,35 @@ Pattern family is public knowledge: the relation pattern ``V+ (W* P)?`` is
 the ReVerb design (Fader, Soderland, Etzioni, EMNLP 2011); NP chunking
 ``DET? ADJ* NOUN+`` is standard shallow chunking; clause-split framing is
 ClausIE (Del Corro & Gemulla, WWW 2013).
+
+NORMATIVE v3 EXTENSION over v2 (deterministic dependency-arc layer — the
+"POS/dependency-pattern" capability the north rule names; head-finding
+conventions follow Universal Dependencies guidelines, public knowledge):
+  - every clause is assembled into a DEPENDENCY ARC LIST before typing:
+      nsubj(head, subj_head)        — clause subject arc
+      obj / obl+case / cop          — argument attachment by clause shape
+      aux(v_last, v_j)              — auxiliary verbs in a V+ run (head =
+                                      last verb of the run, UD convention)
+      det/amod/advmod/compound      — NP- and relation-internal arcs
+                                      (NP head = rightmost noun)
+      cc/conj                       — coordination inside an NP (CONJ_SET)
+      mark                          — trailing preposition with no argument
+    serialized into the ``deps`` column as '|'-joined ``label(h,d)`` with
+    sentence-relative token indices, in construction order.
+  - clause_type is now DERIVED FROM THE ARC PATTERN (obl → SVA, cop → SVC,
+    obj → SVO, else SV) instead of inline POS heuristics; the arc-assembly
+    conditions mirror the v2 heuristics exactly, so typing is unchanged on
+    every v2 row (pinned by tests/spec/test_ruleset_v3.py).
+  - CONJUNCTION EXPANSION (NEW EMISSION): when a subject or argument NP
+    contains a coordination (token in CONJ_SET splitting the NP into >= 2
+    segments that each contain a non-conjunction NOUN), one additional
+    triple is emitted per conjunct combination (subject-major, argument-
+    minor order), tagged ``conj = 1`` (base rows carry ``conj = 0``).
+    Expanded rows are deduped against everything emitted EARLIER in the
+    document (base or expanded), but base-row dedup NEVER consults
+    expanded keys — so the ``conj = 0`` subset of v3 is byte-identical to
+    v2's output (the same additivity discipline as v1→v2).
+  - v3 golden-corpus pins: tests/spec/test_ruleset_v3.py.
 
 NORMATIVE v2 EXTENSION over v1 (ClausIE-style clause typing, Del Corro &
 Gemulla WWW 2013; the SURVEY.md §2.3 deferred item):
@@ -66,12 +95,17 @@ from typing import NamedTuple
 
 from openie_spark.spec.lexicon import ADJ_SET, ADV_SET, DET_SET, PREP_SET, VERB_SET
 
-RULESET_VERSION = "v2"
+RULESET_VERSION = "v3"
 
 # Copulas for SVC typing: the be-forms present in the frozen VERB lexicon.
 # Frozen with the rule set — editing it bumps RULESET_VERSION.
 COPULA_SET = frozenset("is was are were be been".split())
 assert COPULA_SET <= VERB_SET, "copulas must be taggable as verbs"
+
+# Coordinating conjunctions for the v3 conj/cc arcs + expansion.  These
+# words are NOT in any POS lexicon (they tag NOUN by default), so v1/v2 NP
+# boundaries are unaffected; v3 recognizes them INSIDE already-found NPs.
+CONJ_SET = frozenset("and or".split())
 
 CLAUSE_TYPES = ("SV", "SVC", "SVO", "SVA")
 
@@ -93,6 +127,8 @@ class Triple(NamedTuple):
     arg_norm: str
     conf: float
     clause_type: str
+    deps: str  # v3: '|'-joined label(head_idx,dep_idx) arcs
+    conj: int  # v3: 0 = base row (the v2 subset), 1 = conjunction-expanded
 
 
 def segment(text: str) -> list[str]:
@@ -171,8 +207,144 @@ def _np_right(
     return (s, e + 1)
 
 
+def _conjunct_spans(
+    tokens: list[str], tags: list[int], span: tuple[int, int]
+) -> list[tuple[int, int]]:
+    """v3: split an NP span at CONJ_SET tokens.  A split is valid only when
+    it yields >= 2 segments EACH containing at least one non-conjunction
+    NOUN token; otherwise the whole span is returned unsplit."""
+    s, e = span
+    segs: list[tuple[int, int]] = []
+    cur = s
+    for j in range(s, e):
+        if tokens[j].lower() in CONJ_SET:
+            segs.append((cur, j))
+            cur = j + 1
+    segs.append((cur, e))
+    if len(segs) < 2:
+        return [span]
+    for a, b in segs:
+        if not any(
+            tags[j] == NOUN and tokens[j].lower() not in CONJ_SET
+            for j in range(a, b)
+        ):
+            return [span]
+    return segs
+
+
+def _seg_head(tokens: list[str], tags: list[int], seg: tuple[int, int]) -> int:
+    """Head of an NP (segment): its RIGHTMOST non-conjunction NOUN (UD
+    compound convention)."""
+    for j in range(seg[1] - 1, seg[0] - 1, -1):
+        if tags[j] == NOUN and tokens[j].lower() not in CONJ_SET:
+            return j
+    return seg[1] - 1  # unreachable for valid NPs (NOUN+ guaranteed)
+
+
+def _np_arcs(
+    tokens: list[str], tags: list[int], span: tuple[int, int], arcs: list[str]
+) -> None:
+    """v3 NP-internal arcs: det/amod/advmod/compound to the segment head;
+    cc/conj across coordination segments (conj from the FIRST segment's
+    head, UD convention)."""
+    segs = _conjunct_spans(tokens, tags, span)
+    first_head = _seg_head(tokens, tags, segs[0])
+    prev_end = None
+    for k, seg in enumerate(segs):
+        h = _seg_head(tokens, tags, seg)
+        if k > 0:
+            arcs.append(f"cc({h},{seg[0] - 1})")  # the conj token before seg
+            arcs.append(f"conj({first_head},{h})")
+        for j in range(seg[0], seg[1]):
+            if j == h or tokens[j].lower() in CONJ_SET:
+                continue
+            if tags[j] == D:
+                arcs.append(f"det({h},{j})")
+            elif tags[j] == A:
+                arcs.append(f"amod({h},{j})")
+            elif tags[j] == R:
+                arcs.append(f"advmod({h},{j})")
+            else:
+                arcs.append(f"compound({h},{j})")
+        prev_end = seg[1]
+    del prev_end
+
+
+def _clause_arcs(
+    tokens: list[str],
+    tags: list[int],
+    i: int,
+    v_end: int,
+    rel_end: int,
+    last_p: int,
+    subj_span: tuple[int, int],
+    arg_span: tuple[int, int] | None,
+) -> list[str]:
+    """v3: assemble the clause's dependency arcs.  Typing is DERIVED from
+    this arc pattern (see extract_sentence), not computed separately."""
+    arcs: list[str] = []
+    subj_head = subj_span[1] - 1  # rightmost noun of the subject NP
+    all_cop = all(tokens[j].lower() in COPULA_SET for j in range(i, v_end + 1))
+    if arg_span is not None:
+        arg_head = arg_span[1] - 1
+        if last_p >= 0:  # prepositional argument → oblique
+            arcs.append(f"nsubj({v_end},{subj_head})")
+            arcs.append(f"obl({v_end},{arg_head})")
+            arcs.append(f"case({arg_head},{last_p})")
+        elif all_cop:  # copular clause: complement is the head (UD cop)
+            arcs.append(f"nsubj({arg_head},{subj_head})")
+            for j in range(i, v_end + 1):
+                arcs.append(f"cop({arg_head},{j})")
+        else:
+            arcs.append(f"nsubj({v_end},{subj_head})")
+            arcs.append(f"obj({v_end},{arg_head})")
+    else:
+        arcs.append(f"nsubj({v_end},{subj_head})")
+        if last_p >= 0:  # trailing preposition, no argument to attach
+            arcs.append(f"mark({v_end},{last_p})")
+    # V+ run internals: head = last verb, earlier verbs are auxiliaries
+    # (skipped for pure-copula argful clauses — those carry cop arcs)
+    if not (arg_span is not None and last_p < 0 and all_cop):
+        for j in range(i, v_end):
+            arcs.append(f"aux({v_end},{j})")
+    # relation-interior tokens (W* zone, excluding the case/mark PREP)
+    for j in range(v_end + 1, rel_end + 1):
+        if j == last_p:
+            continue
+        if tags[j] == R:
+            arcs.append(f"advmod({v_end},{j})")
+        elif tags[j] == A:
+            arcs.append(f"amod({v_end},{j})")
+        elif tags[j] == D:
+            arcs.append(f"det({v_end},{j})")
+        elif tags[j] == P:
+            arcs.append(f"case({v_end},{j})")
+        else:
+            arcs.append(f"compound({v_end},{j})")
+    # NP internals
+    _np_arcs(tokens, tags, subj_span, arcs)
+    if arg_span is not None:
+        _np_arcs(tokens, tags, arg_span, arcs)
+    return arcs
+
+
+def _type_from_arcs(arcs: list[str]) -> str:
+    """v3 dependency-pattern clause typing: the arc labels ARE the type."""
+    labels = {a.split("(", 1)[0] for a in arcs}
+    if "obl" in labels:
+        return "SVA"
+    if "cop" in labels:
+        return "SVC"
+    if "obj" in labels:
+        return "SVO"
+    return "SV"
+
+
 def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
-    """Apply the v1 relation/NP rules to one sentence."""
+    """Apply the frozen relation/NP rules to one sentence.  v3: clause
+    arcs are assembled first and clause_type is derived from the arc
+    pattern; conjunction expansions follow their base row (subject-major,
+    argument-minor order), tagged conj=1."""
     tokens = tokenize(sentence)
     if not tokens:
         return []
@@ -205,24 +377,34 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
             continue
         subj = " ".join(tokens[subj_span[0] : subj_span[1]])
         rel = " ".join(tokens[i : rel_end + 1])
+        arcs = _clause_arcs(
+            tokens, tags, i, v_end, rel_end, last_p, subj_span, arg_span
+        )
+        deps = "|".join(arcs)
+        clause_type = _type_from_arcs(arcs)
+        subj_segs = _conjunct_spans(tokens, tags, subj_span)
         if arg_span is None:
-            # v2 SV emission: intransitive clause (subject + verb, no
-            # argument NP).  Resume point is v_end + 1 — exactly where v1
-            # resumed from its no-emit path, so every v1 triple survives.
+            # SV emission (v2): intransitive clause.  Resume point is
+            # v_end + 1 — exactly where v1 resumed from its no-emit path.
             out.append(
                 Triple(
-                    sent_idx, subj, rel, "", normalize_mention(subj), "", 1.0, "SV"
+                    sent_idx, subj, rel, "", normalize_mention(subj), "",
+                    1.0, clause_type, deps, 0,
                 )
             )
+            if len(subj_segs) > 1:
+                for ss in subj_segs:
+                    s_sur = " ".join(tokens[ss[0] : ss[1]])
+                    out.append(
+                        Triple(
+                            sent_idx, s_sur, rel, "",
+                            normalize_mention(s_sur), "",
+                            1.0, clause_type, deps, 1,
+                        )
+                    )
             i = v_end + 1
             continue
         arg = " ".join(tokens[arg_span[0] : arg_span[1]])
-        if last_p >= 0:
-            clause_type = "SVA"
-        elif all(tokens[j].lower() in COPULA_SET for j in range(i, v_end + 1)):
-            clause_type = "SVC"
-        else:
-            clause_type = "SVO"
         out.append(
             Triple(
                 sent_idx,
@@ -233,8 +415,25 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
                 normalize_mention(arg),
                 1.0,
                 clause_type,
+                deps,
+                0,
             )
         )
+        arg_segs = _conjunct_spans(tokens, tags, arg_span)
+        if len(subj_segs) > 1 or len(arg_segs) > 1:
+            for ss in subj_segs:
+                for asg in arg_segs:
+                    s_sur = " ".join(tokens[ss[0] : ss[1]])
+                    a_sur = " ".join(tokens[asg[0] : asg[1]])
+                    if s_sur == subj and a_sur == arg:
+                        continue  # the base combination is already emitted
+                    out.append(
+                        Triple(
+                            sent_idx, s_sur, rel, a_sur,
+                            normalize_mention(s_sur), normalize_mention(a_sur),
+                            1.0, clause_type, deps, 1,
+                        )
+                    )
         i = arg_span[1]  # non-overlapping: resume after the argument
     return out
 
@@ -247,10 +446,14 @@ def extract_pairs(pairs) -> list[Triple]:
 
     Only kind='text' spans feed extraction; media spans are skipped but do
     not reset the sentence counter (sent_idx is global per doc).  Per-doc
-    exact dedup on (subj, rel, arg), first occurrence wins.
+    exact dedup on (subj, rel, arg), first occurrence wins.  v3: expanded
+    (conj=1) rows dedup against everything emitted earlier (base or
+    expanded), but BASE dedup never consults expanded keys — the conj=0
+    subset is therefore byte-identical to the v2 output.
     """
     triples: list[Triple] = []
     seen: set[tuple[str, str, str]] = set()
+    seen_conj: set[tuple[str, str, str]] = set()
     sent_idx = 0
     for kind, text in pairs:
         if kind != "text" or text is None:
@@ -262,7 +465,11 @@ def extract_pairs(pairs) -> list[Triple]:
             # scan.  Re-introduce only behind a measured-dup-ratio guard.
             for t in extract_sentence(sent, sent_idx):
                 key = (t.subj, t.rel, t.arg)
-                if key not in seen:
+                if t.conj:
+                    if key not in seen and key not in seen_conj:
+                        seen_conj.add(key)
+                        triples.append(t)
+                elif key not in seen:
                     seen.add(key)
                     triples.append(t)
             sent_idx += 1

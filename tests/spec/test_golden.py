@@ -17,12 +17,12 @@ def test_golden_pr(spark, golden_docs_path, golden_docs_list):
 
     got = {
         (r.doc_id, r.sent_idx, r.subj, r.rel, r.arg, r.subj_norm, r.arg_norm,
-         r.clause_type)
+         r.clause_type, r.deps, r.conj)
         for r in triples.collect()
     }
     want = {
         (r["doc_id"], r["sent_idx"], r["subj"], r["rel"], r["arg"],
-         r["subj_norm"], r["arg_norm"], r["clause_type"])
+         r["subj_norm"], r["arg_norm"], r["clause_type"], r["deps"], r["conj"])
         for r in oracle_triples(golden_docs_list)
     }
     p, r = precision_recall(got, want)

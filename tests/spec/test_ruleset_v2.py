@@ -24,14 +24,18 @@ V2_GOLDEN_COUNT = 2683
 
 
 def _golden_rows():
+    """The v2-equivalent subset under v3: conj-expanded rows excluded (v3
+    is additive over v2 exactly as v2 was over v1 — the conj=0 subset is
+    pinned byte-identical; see tests/spec/test_ruleset_v3.py)."""
     from openie_spark.fixtures.gen_golden import golden_docs
     from openie_spark.spec.oracle import oracle_triples
 
-    return oracle_triples(golden_docs())
+    return [r for r in oracle_triples(golden_docs()) if r["conj"] == 0]
 
 
-def test_version_is_v2():
-    assert RULESET_VERSION == "v2"
+def test_version_is_at_least_v3():
+    # the live version moved on; the v2 GATES below stay pinned forever
+    assert RULESET_VERSION == "v3"
 
 
 def test_v1_compat_pinned_on_golden_corpus():
