@@ -208,16 +208,26 @@ def _np_right(
 
 
 def _conjunct_spans(
-    tokens: list[str], tags: list[int], span: tuple[int, int]
+    lows: list[str],
+    tags: list[int],
+    span: tuple[int, int],
+    has_conj: bool = True,
 ) -> list[tuple[int, int]]:
     """v3: split an NP span at CONJ_SET tokens.  A split is valid only when
     it yields >= 2 segments EACH containing at least one non-conjunction
-    NOUN token; otherwise the whole span is returned unsplit."""
+    NOUN token; otherwise the whole span is returned unsplit.
+
+    ``lows`` are the pre-lowercased sentence tokens and ``has_conj`` the
+    precomputed sentence-level CONJ presence — pure hot-path plumbing
+    (conjunction-free sentences, the overwhelming majority, take the
+    early return), not a rule change."""
+    if not has_conj:
+        return [span]
     s, e = span
     segs: list[tuple[int, int]] = []
     cur = s
     for j in range(s, e):
-        if tokens[j].lower() in CONJ_SET:
+        if lows[j] in CONJ_SET:
             segs.append((cur, j))
             cur = j + 1
     segs.append((cur, e))
@@ -225,53 +235,54 @@ def _conjunct_spans(
         return [span]
     for a, b in segs:
         if not any(
-            tags[j] == NOUN and tokens[j].lower() not in CONJ_SET
-            for j in range(a, b)
+            tags[j] == NOUN and lows[j] not in CONJ_SET for j in range(a, b)
         ):
             return [span]
     return segs
 
 
-def _seg_head(tokens: list[str], tags: list[int], seg: tuple[int, int]) -> int:
+def _seg_head(lows: list[str], tags: list[int], seg: tuple[int, int]) -> int:
     """Head of an NP (segment): its RIGHTMOST non-conjunction NOUN (UD
     compound convention)."""
     for j in range(seg[1] - 1, seg[0] - 1, -1):
-        if tags[j] == NOUN and tokens[j].lower() not in CONJ_SET:
+        if tags[j] == NOUN and lows[j] not in CONJ_SET:
             return j
     return seg[1] - 1  # unreachable for valid NPs (NOUN+ guaranteed)
 
 
 def _np_arcs(
-    tokens: list[str], tags: list[int], span: tuple[int, int], arcs: list[str]
+    lows: list[str],
+    tags: list[int],
+    span: tuple[int, int],
+    arcs: list[str],
+    has_conj: bool,
 ) -> None:
     """v3 NP-internal arcs: det/amod/advmod/compound to the segment head;
     cc/conj across coordination segments (conj from the FIRST segment's
     head, UD convention)."""
-    segs = _conjunct_spans(tokens, tags, span)
-    first_head = _seg_head(tokens, tags, segs[0])
-    prev_end = None
+    segs = _conjunct_spans(lows, tags, span, has_conj)
+    first_head = _seg_head(lows, tags, segs[0])
     for k, seg in enumerate(segs):
-        h = _seg_head(tokens, tags, seg)
+        h = _seg_head(lows, tags, seg)
         if k > 0:
             arcs.append(f"cc({h},{seg[0] - 1})")  # the conj token before seg
             arcs.append(f"conj({first_head},{h})")
         for j in range(seg[0], seg[1]):
-            if j == h or tokens[j].lower() in CONJ_SET:
+            if j == h or lows[j] in CONJ_SET:
                 continue
-            if tags[j] == D:
+            tj = tags[j]
+            if tj == D:
                 arcs.append(f"det({h},{j})")
-            elif tags[j] == A:
+            elif tj == A:
                 arcs.append(f"amod({h},{j})")
-            elif tags[j] == R:
+            elif tj == R:
                 arcs.append(f"advmod({h},{j})")
             else:
                 arcs.append(f"compound({h},{j})")
-        prev_end = seg[1]
-    del prev_end
 
 
 def _clause_arcs(
-    tokens: list[str],
+    lows: list[str],
     tags: list[int],
     i: int,
     v_end: int,
@@ -279,12 +290,13 @@ def _clause_arcs(
     last_p: int,
     subj_span: tuple[int, int],
     arg_span: tuple[int, int] | None,
+    has_conj: bool,
 ) -> list[str]:
     """v3: assemble the clause's dependency arcs.  Typing is DERIVED from
     this arc pattern (see extract_sentence), not computed separately."""
     arcs: list[str] = []
     subj_head = subj_span[1] - 1  # rightmost noun of the subject NP
-    all_cop = all(tokens[j].lower() in COPULA_SET for j in range(i, v_end + 1))
+    all_cop = all(lows[j] in COPULA_SET for j in range(i, v_end + 1))
     if arg_span is not None:
         arg_head = arg_span[1] - 1
         if last_p >= 0:  # prepositional argument → oblique
@@ -311,20 +323,21 @@ def _clause_arcs(
     for j in range(v_end + 1, rel_end + 1):
         if j == last_p:
             continue
-        if tags[j] == R:
+        tj = tags[j]
+        if tj == R:
             arcs.append(f"advmod({v_end},{j})")
-        elif tags[j] == A:
+        elif tj == A:
             arcs.append(f"amod({v_end},{j})")
-        elif tags[j] == D:
+        elif tj == D:
             arcs.append(f"det({v_end},{j})")
-        elif tags[j] == P:
+        elif tj == P:
             arcs.append(f"case({v_end},{j})")
         else:
             arcs.append(f"compound({v_end},{j})")
     # NP internals
-    _np_arcs(tokens, tags, subj_span, arcs)
+    _np_arcs(lows, tags, subj_span, arcs, has_conj)
     if arg_span is not None:
-        _np_arcs(tokens, tags, arg_span, arcs)
+        _np_arcs(lows, tags, arg_span, arcs, has_conj)
     return arcs
 
 
@@ -348,7 +361,20 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
     tokens = tokenize(sentence)
     if not tokens:
         return []
-    tags = [tag(t) for t in tokens]
+    # hot path: lowercase once, tag from the lowered forms (identical to
+    # per-token tag()), and precompute sentence-level CONJ presence so
+    # conjunction-free sentences skip all v3 splitting machinery
+    lows = [t.lower() for t in tokens]
+    tags = [
+        V if t in VERB_SET
+        else P if t in PREP_SET
+        else D if t in DET_SET
+        else A if t in ADJ_SET
+        else R if t in ADV_SET
+        else NOUN
+        for t in lows
+    ]
+    has_conj = not CONJ_SET.isdisjoint(lows)
     n = len(tokens)
     out: list[Triple] = []
     i = 0
@@ -378,11 +404,11 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
         subj = " ".join(tokens[subj_span[0] : subj_span[1]])
         rel = " ".join(tokens[i : rel_end + 1])
         arcs = _clause_arcs(
-            tokens, tags, i, v_end, rel_end, last_p, subj_span, arg_span
+            lows, tags, i, v_end, rel_end, last_p, subj_span, arg_span, has_conj
         )
         deps = "|".join(arcs)
         clause_type = _type_from_arcs(arcs)
-        subj_segs = _conjunct_spans(tokens, tags, subj_span)
+        subj_segs = _conjunct_spans(lows, tags, subj_span, has_conj)
         if arg_span is None:
             # SV emission (v2): intransitive clause.  Resume point is
             # v_end + 1 — exactly where v1 resumed from its no-emit path.
@@ -419,7 +445,7 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
                 0,
             )
         )
-        arg_segs = _conjunct_spans(tokens, tags, arg_span)
+        arg_segs = _conjunct_spans(lows, tags, arg_span, has_conj)
         if len(subj_segs) > 1 or len(arg_segs) > 1:
             for ss in subj_segs:
                 for asg in arg_segs:
