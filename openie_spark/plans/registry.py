@@ -1203,6 +1203,88 @@ SELECT id, MIN(r) AS rep FROM lab GROUP BY id ORDER BY id
 """
 
 
+def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): order counts by customer market segment x order
+    status, statuses pinned to the fixed TPC-H domain so the output schema
+    is static.  Spark `pivot` compiles to a single hash aggregate with
+    conditional counts — the oracle mirrors it with FILTERed aggregates."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    j = o.join(c, o.o_custkey == c.c_custkey)
+    p = j.groupBy("c_mktsegment").pivot("o_orderstatus", ["F", "O", "P"]).count()
+    return p.select(
+        "c_mktsegment",
+        F.coalesce("F", F.lit(0)).alias("n_f"),
+        F.coalesce("O", F.lit(0)).alias("n_o"),
+        F.coalesce("P", F.lit(0)).alias("n_p"),
+    ).orderBy("c_mktsegment")
+
+
+SQL_PIVOT_SEGMENT_STATUS = """
+SELECT c_mktsegment,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic engine-portable train/val/test assignment — the
+    standard content-hash split a training-data pipeline applies so the
+    same document always lands in the same split on ANY engine: first two
+    hex chars of md5(text) compared lexicographically (hex is ASCII, so
+    Spark's binary collation and DuckDB agree byte-for-byte).
+    'cd' = 205/256 ~ 80%% train, 'e6' = 230/256 ~ +10%% val, rest test."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    ).alias("split")
+    return (
+        d.groupBy("lang", split)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SQL_TRAIN_VAL_SPLIT = """
+WITH tagged AS (
+  SELECT lang,
+         CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         length(text) AS n
+  FROM documents
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(n) AS total_chars
+FROM tagged GROUP BY lang, split ORDER BY lang, split
+"""
+
+
+def q_dep_arc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RULESET v3 dependency-arc surface: explode the per-triple arc list
+    and count arcs per label (nsubj/obj/obl/case/cop/aux/...), split by
+    base vs conjunction-expanded rows.  Rows-only (deps are produced by
+    the frozen Python spec, not SQL-expressible); the arc semantics are
+    gated by tests/spec/test_ruleset_v3.py."""
+    t = extract_stage(_docs(spark, sf_dir))
+    return (
+        t.select(
+            "conj", F.explode(F.split("deps", r"\|")).alias("arc")
+        )
+        .where(F.col("arc") != "")
+        .select("conj", F.split("arc", r"\(").getItem(0).alias("label"))
+        .groupBy("label", "conj")
+        .agg(F.count("*").alias("n_arcs"))
+        .orderBy("label", "conj")
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1244,8 +1326,11 @@ QUERIES = {
     "connected_components": q_connected_components,
     "extract_triples": q_extract_triples,
     "clause_stats": q_clause_stats,
+    "dep_arc_stats": q_dep_arc_stats,
     "mentions": q_mentions,
     "span_invariant": q_span_invariant,
+    "pivot_segment_status": q_pivot_segment_status,
+    "train_val_split": q_train_val_split,
 }
 
 ORACLE_SQL = {
@@ -1274,4 +1359,6 @@ ORACLE_SQL = {
     "embedding_stats": SQL_EMBEDDING_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "connected_components": _connected_components_sql(),
+    "pivot_segment_status": SQL_PIVOT_SEGMENT_STATUS,
+    "train_val_split": SQL_TRAIN_VAL_SPLIT,
 }
