@@ -114,3 +114,68 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
         "fp_rolling_min", F.array_min(gram_hashes)
     )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, public
+    knowledge) — the standard corpus filters for boilerplate/spam:
+
+      - dup_word_ratio:   1 - distinct_words / words
+      - dup_2gram_ratio:  1 - distinct_2grams / 2grams
+      - top_word_share:   occurrences of the most frequent word / words
+
+    Word/2-gram ratios are pure JVM array expressions (no shuffle); the
+    top-word share is the one genuinely grouped computation (explode →
+    two-level agg, map-side combinable).  Empty-token filtering is explicit
+    so the SQL oracle can mirror tokenization exactly."""
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
+    n = F.size("w")
+    idx2 = F.sequence(F.lit(1), F.greatest(n - 1, F.lit(0)))
+    grams = F.when(
+        n >= 2,
+        F.transform(idx2, lambda i: F.concat_ws(" ", F.slice("w", i, 2))),
+    ).otherwise(F.array().cast("array<string>"))
+    ratios = base.select(
+        "id",
+        n.alias("n_words"),
+        F.when(
+            n > 0, F.round(F.lit(1.0) - F.size(F.array_distinct("w")) / n, 4)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_word_ratio"),
+        F.when(
+            F.size(grams) > 0,
+            F.round(
+                F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams), 4
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_ratio"),
+    )
+    freq = (
+        base.select("id", F.explode("w").alias("word"))
+        .groupBy("id", "word")
+        .agg(F.count("*").alias("c"))
+        .groupBy("id")
+        .agg(F.max("c").alias("max_c"))
+    )
+    return (
+        ratios.join(freq, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_words",
+            "dup_word_ratio",
+            "dup_2gram_ratio",
+            F.when(
+                F.col("n_words") > 0,
+                F.round(F.coalesce("max_c", F.lit(0)) / F.col("n_words"), 4),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_word_share"),
+        )
+    )

@@ -1266,6 +1266,113 @@ FROM tagged GROUP BY lang, split ORDER BY lang, split
 """
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters per document (duplicate-word /
+    duplicate-2gram ratios + top-word share) — the standard boilerplate
+    and spam signals a pre-training corpus pipeline computes for every
+    document (text_analysis.repetition_stats)."""
+    from openie_spark.operators.text_analysis import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_REPETITION_STATS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+t2 AS (
+  SELECT doc_id, w,
+         list_transform(list_zip(w[1:len(w)-1], w[2:]),
+                        p -> p[1] || ' ' || p[2]) AS grams
+  FROM t
+),
+freq AS (
+  SELECT doc_id, MAX(c) AS max_c FROM (
+    SELECT doc_id, word, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(w) AS word FROM t)
+    GROUP BY doc_id, word
+  ) GROUP BY doc_id
+)
+SELECT t2.doc_id,
+       len(w) AS n_words,
+       CASE WHEN len(w) > 0
+            THEN ROUND(1.0 - len(list_distinct(w)) / CAST(len(w) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_word_ratio,
+       CASE WHEN len(grams) > 0
+            THEN ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4)
+            ELSE 0.0 END AS dup_2gram_ratio,
+       CASE WHEN len(w) > 0
+            THEN ROUND(COALESCE(f.max_c, 0) / CAST(len(w) AS DOUBLE), 4)
+            ELSE 0.0 END AS top_word_share
+FROM t2 LEFT JOIN freq f USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed corpus-curation pipeline — the end-to-end shape a training
+    corpus actually goes through, each stage an already-tested operator:
+    quality filter (length + punctuation) → exact-dedup keepers (min
+    doc_id per content hash) → deterministic md5-prefix split →
+    per-(lang, split) manifest counts.  Every stage is SQL-expressible, so
+    the whole composition is oracle-checked."""
+    from openie_spark.operators.text_analysis import with_quality
+
+    d = load(spark, sf_dir, "documents")
+    q = with_quality(d).where(
+        (F.col("q_n_words") >= 5) & (F.col("q_punct_ratio") <= 0.3)
+    )
+    keepers = q.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = q.join(keepers, "doc_id", "left_semi")
+    h2 = F.substring(F.md5("text"), 1, 2)
+    split = (
+        F.when(h2 < "cd", "train").when(h2 < "e6", "val").otherwise("test")
+    ).alias("split")
+    return (
+        kept.groupBy("lang", split)
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("q_n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "split")
+    )
+
+
+SQL_CURATION_MANIFEST = r"""
+WITH q AS (
+  SELECT doc_id, lang, text,
+         length(text) AS n_chars,
+         len(string_split_regex(lower(text), '\s+')) AS n_words,
+         length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS n_punct
+  FROM documents
+),
+flt AS (
+  SELECT * FROM q
+  WHERE n_words >= 5
+    AND (CASE WHEN n_chars > 0
+              THEN ROUND(n_punct / CAST(n_chars AS DOUBLE), 4)
+              ELSE 0.0 END) <= 0.3
+),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM flt GROUP BY md5(text)),
+kept AS (SELECT f.* FROM flt f JOIN keep USING (doc_id)),
+tagged AS (
+  SELECT lang,
+         CASE WHEN substr(md5(text), 1, 2) < 'cd' THEN 'train'
+              WHEN substr(md5(text), 1, 2) < 'e6' THEN 'val'
+              ELSE 'test' END AS split,
+         n_chars
+  FROM kept
+)
+SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM tagged GROUP BY lang, split ORDER BY lang, split
+"""
+
+
 def q_dep_arc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RULESET v3 dependency-arc surface: explode the per-triple arc list
     and count arcs per label (nsubj/obj/obl/case/cop/aux/...), split by
@@ -1331,6 +1438,8 @@ QUERIES = {
     "span_invariant": q_span_invariant,
     "pivot_segment_status": q_pivot_segment_status,
     "train_val_split": q_train_val_split,
+    "repetition_stats": q_repetition_stats,
+    "curation_manifest": q_curation_manifest,
 }
 
 ORACLE_SQL = {
@@ -1361,4 +1470,6 @@ ORACLE_SQL = {
     "connected_components": _connected_components_sql(),
     "pivot_segment_status": SQL_PIVOT_SEGMENT_STATUS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "curation_manifest": SQL_CURATION_MANIFEST,
 }
