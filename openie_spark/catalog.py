@@ -58,9 +58,42 @@ class ParquetCatalog:
     def append_table(self, df: DataFrame, name: str) -> None:
         df.write.mode("append").parquet(self._path(name))
 
+    def write_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_by: list[str],
+        n_buckets: int,
+    ) -> None:
+        """Bucketed (hash-clustered + per-bucket sorted) external table —
+        the co-located-join strategy: two tables bucketed by the same keys
+        into the same bucket count join WITHOUT a shuffle on either side
+        (plan-gated in tests/unit/test_bucketing.py).  At the 100 TB
+        posture this is how repeatedly-joined tables (triples ⋈ links,
+        edges ⋈ vertices) amortize their shuffle across every downstream
+        consumer.  Bucket metadata lives in the session catalog
+        (`spark.table(name)`); the parquet files live under the catalog
+        root like every other table."""
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(n_buckets, *bucket_by)
+            .sortBy(*bucket_by)
+            .option("path", self._path(name))
+            .saveAsTable(name)
+        )
+
+    def load_bucketed(self, name: str) -> DataFrame:
+        """Read a bucketed table THROUGH the catalog (a plain
+        read.parquet(path) would drop the bucket metadata and reintroduce
+        the shuffle)."""
+        return self.spark.table(name)
+
     def drop_table(self, name: str) -> None:
         import shutil
 
+        if any(t.name == name for t in self.spark.catalog.listTables()):
+            self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         shutil.rmtree(self._path(name), ignore_errors=True)
 
 

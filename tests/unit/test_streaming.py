@@ -170,6 +170,45 @@ def test_stateful_sessionize_timeout_matches_twin_on_corpus(spark, tmp_path):
     assert len(got) > n_notimeout
 
 
+def test_stream_dedup_within_watermark_across_runs(spark, tmp_path):
+    """Streaming exact dedup: duplicates arriving in a LATER availableNow
+    run on the same checkpoint are dropped (state carries), new content
+    passes, and the watermark bound is what makes state finite."""
+    import datetime
+
+    from openie_spark.streaming.dedup import stream_exact_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+
+    def t(mins):
+        return base + datetime.timedelta(minutes=mins)
+
+    ind, ck, out = (str(tmp_path / x) for x in ("in", "ck", "out"))
+    first = spark.createDataFrame(
+        [(1, "alpha text", t(0)), (2, "beta text", t(1)), (3, "alpha text", t(2))],
+        "doc_id bigint, text string, ts timestamp",
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(ind)
+    q = stream_exact_dedup(spark, ind, first.schema, ck, out)
+    assert q.awaitTermination(120)
+    got1 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    assert {txt for _, txt in got1} == {"alpha text", "beta text"}
+    assert len(got1) == 2  # in-batch duplicate of 'alpha text' dropped
+
+    # run 2: a cross-run duplicate within the watermark window + new content
+    second = spark.createDataFrame(
+        [(4, "beta text", t(3)), (5, "gamma text", t(4))],
+        "doc_id bigint, text string, ts timestamp",
+    )
+    second.coalesce(1).write.mode("append").parquet(ind)
+    q2 = stream_exact_dedup(spark, ind, first.schema, ck, out)
+    assert q2.awaitTermination(120)
+    got2 = {(r["doc_id"], r["text"]) for r in spark.read.parquet(out).collect()}
+    texts = sorted(txt for _, txt in got2)
+    assert texts == ["alpha text", "beta text", "gamma text"]
+    assert (4, "beta text") not in got2  # cross-run duplicate dropped
+
+
 def test_stateful_fn_late_event_before_open_session_closes_separately():
     """Round-2 advice case: a cross-batch late event older than
     start - gap must form its own CLOSED session, not be absorbed into the
