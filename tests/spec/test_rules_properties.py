@@ -50,12 +50,22 @@ def test_triples_substrings_and_nonoverlap(sent):
 @settings(max_examples=200, deadline=None)
 @given(st.lists(sentences, min_size=1, max_size=5))
 def test_document_dedup_and_sent_idx(sents):
+    """v3 dedup contract: base keys are globally unique; expanded keys are
+    unique among themselves and never duplicate an EARLIER emission of
+    either kind (a later base row may legitimately repeat an earlier
+    expanded key — base dedup is blind to expanded keys by design)."""
     spans = [
         {"kind": "text", "text": " ".join(sents), "media_ref": None, "offset": 0}
     ]
     triples = extract_document(spans)
-    keys = [(t.subj, t.rel, t.arg) for t in triples]
-    assert len(keys) == len(set(keys))  # per-doc exact dedup
+    base_keys = [(t.subj, t.rel, t.arg) for t in triples if t.conj == 0]
+    assert len(base_keys) == len(set(base_keys))  # per-doc exact dedup
+    seen_before: set = set()
+    for t in triples:
+        key = (t.subj, t.rel, t.arg)
+        if t.conj:
+            assert key not in seen_before
+        seen_before.add(key)
     n_sents = len(segment(" ".join(sents)))
     for t in triples:
         assert 0 <= t.sent_idx < n_sents
@@ -106,6 +116,53 @@ def test_pairs_and_dicts_agree(sents):
     assert extract_document(spans) == extract_pairs(
         (s["kind"], s["text"]) for s in spans
     )
+
+
+@settings(max_examples=300, deadline=None)
+@given(sentences)
+def test_v3_deps_and_conj_invariants(sent):
+    """v3 structural invariants over random sentences:
+    - deps parse as label(h,d) with indices inside the sentence;
+    - clause_type always equals the arc-pattern derivation;
+    - every clause carries exactly one nsubj arc;
+    - expanded rows exist only when a CONJ token is present, share their
+      base row's rel/clause_type/deps, and their surfaces are proper
+      sub-phrases of some base row's subj/arg."""
+    from openie_spark.spec.rules import CONJ_SET, _type_from_arcs
+
+    toks = tokenize(sent)
+    n = len(toks)
+    triples = extract_sentence(sent, 0)
+    has_conj = any(t.lower() in CONJ_SET for t in toks)
+    arc_re = re.compile(r"^[a-z]+\((\d+),(\d+)\)$")
+    for t in triples:
+        arcs = t.deps.split("|")
+        labels = []
+        for a in arcs:
+            m = arc_re.match(a)
+            assert m, a
+            h, d = int(m.group(1)), int(m.group(2))
+            assert 0 <= h < n and 0 <= d < n
+            labels.append(a.split("(", 1)[0])
+        assert labels.count("nsubj") == 1
+        assert t.clause_type == _type_from_arcs(arcs)
+    base = [t for t in triples if t.conj == 0]
+    for t in triples:
+        if t.conj:
+            assert has_conj
+            mates = [
+                b
+                for b in base
+                if b.rel == t.rel
+                and b.deps == t.deps
+                and b.clause_type == t.clause_type
+            ]
+            assert mates
+            assert any(
+                t.subj in (b.subj, *b.subj.split())
+                or t.subj in b.subj
+                for b in mates
+            )
 
 
 @settings(max_examples=300, deadline=None)
