@@ -1,0 +1,65 @@
+"""Iterative PageRank on DataFrames — integer-mass formulation (OP-4x
+family companion to connected components; PageRank, Brin & Page 1998).
+
+Why INTEGER mass: the engine's oracle discipline (registry.py) requires
+bit-identical values against DuckDB, and float PageRank accumulates in a
+join-order-dependent way — never hash-comparable across engines.  This
+formulation is exact: every node starts with ``total_mass`` integer units;
+each iteration a node sends ``(mass * 17) div (20 * outdeg)`` units along
+every out-edge (= 0.85 damping via integral division, floor-exact in both
+Spark's ``div`` and DuckDB's ``//``) and every node is re-based with
+``total_mass * 15 // 100`` units.  Dangling mass (floor losses + sinks) is
+deliberately dropped — frozen as part of the spec, mirrored by the oracle.
+
+Plan shape per iteration: edges ⋈ ranks ⋈ outdeg (all equi-joins on the
+node id) → groupBy(dst) sum (map-side combinable) → left join back to the
+node universe.  Lineage is cut per round exactly like the CC loop —
+without it plan analysis doubles per iteration.  At the 10^12-edge posture
+every step is shuffle-on-id; no driver-side state beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from openie_spark.functions.lineage import cut_lineage
+
+
+def pagerank_mass(
+    edges: DataFrame, iters: int = 5, total_mass: int = 1_000_000
+) -> DataFrame:
+    """edges(src, dst) directed → (id, mass) after ``iters`` exact-integer
+    PageRank iterations.  Nodes without in-edges settle at the base mass;
+    nodes without out-edges leak their mass (standard no-sink-handling
+    variant, frozen)."""
+    base = total_mass * 15 // 100
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes = cut_lineage(nodes, eager=True)
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("d")
+    )
+    ranks = nodes.withColumn("mass", F.lit(int(total_mass)).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(outdeg.withColumnRenamed("id", "_oid"), F.col("src") == F.col("_oid"))
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(mass * 17) div (20 * d)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (F.lit(base) + F.coalesce("in_mass", F.lit(0))).cast("long").alias(
+                "mass"
+            ),
+        )
+        ranks = cut_lineage(ranks)
+    return ranks

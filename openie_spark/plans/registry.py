@@ -1392,6 +1392,65 @@ def q_dep_arc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 5
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative exact-integer PageRank (operators/pagerank.py) over the
+    undirected orientation of the CC fixture graphs — the second iterative
+    DataFrame algorithm with a full DuckDB oracle (recursive CTE with an
+    aggregate in the recursive term).  Integer mass + integral division
+    keep every value bit-identical across engines."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.pagerank import pagerank_mass
+
+    raw, _ = all_graphs()
+    e = spark.createDataFrame(raw, "src bigint, dst bigint")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return pagerank_mass(und, iters=PAGERANK_ITERS).orderBy("id")
+
+
+def _pagerank_sql() -> str:
+    """NOTE: inside a WITH RECURSIVE block DuckDB gives EVERY CTE recursive
+    semantics, which silently turns a helper CTE's UNION dedup into
+    anchor+step evaluation (duplicated rows).  Helper CTEs here therefore
+    use UNION ALL + an explicit DISTINCT, never bare UNION.  (The CC
+    oracle's helper UNIONs are immune — min-label propagation is
+    duplicate-insensitive — but PageRank sums contributions, so duplicates
+    corrupt it.)"""
+    from openie_spark.fixtures.gen_graphs import edges_sql
+
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({edges_sql()}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_raw
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges_raw
+  )
+),
+outdeg AS (SELECT src AS id, COUNT(*) AS d FROM und GROUP BY src),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM und UNION ALL SELECT dst AS id FROM und
+  )
+),
+pr AS (
+  SELECT 0 AS iter, id, CAST(1000000 AS BIGINT) AS mass FROM nodes
+  UNION ALL
+  SELECT p.iter + 1, e.dst AS id,
+         CAST(150000 + SUM((p.mass * 17) // (20 * o.d)) AS BIGINT) AS mass
+  FROM pr p JOIN und e ON e.src = p.id JOIN outdeg o ON o.id = p.id
+  WHERE p.iter < {PAGERANK_ITERS}
+  GROUP BY p.iter + 1, e.dst
+)
+SELECT id, mass FROM pr WHERE iter = {PAGERANK_ITERS} ORDER BY id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1440,6 +1499,7 @@ QUERIES = {
     "train_val_split": q_train_val_split,
     "repetition_stats": q_repetition_stats,
     "curation_manifest": q_curation_manifest,
+    "pagerank": q_pagerank,
 }
 
 ORACLE_SQL = {
@@ -1472,4 +1532,5 @@ ORACLE_SQL = {
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,
     "curation_manifest": SQL_CURATION_MANIFEST,
+    "pagerank": _pagerank_sql(),
 }

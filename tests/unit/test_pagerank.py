@@ -1,0 +1,56 @@
+"""Exact-integer PageRank (operators/pagerank.py): equality with a pure
+Python reference loop, determinism across parallelism, and the frozen
+dangling/no-in-edge semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openie_spark.operators.pagerank import pagerank_mass
+
+
+def _reference(edges: list[tuple[int, int]], iters: int, total: int = 1_000_000):
+    nodes = sorted({u for e in edges for u in e})
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    base = total * 15 // 100
+    mass = {v: total for v in nodes}
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            nxt[d] += (mass[s] * 17) // (20 * outdeg[s])
+        mass = nxt
+    return mass
+
+
+def test_matches_python_reference(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 3), (4, 1), (1, 4), (5, 5)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["mass"] for r in pagerank_mass(df, iters=2).collect()}
+    assert got == _reference(edges, 2)
+
+
+def test_no_in_edge_node_settles_at_base(spark):
+    # 9 -> 1 only: node 9 receives nothing after iter 1 → base mass
+    edges = [(9, 1), (1, 1)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["mass"] for r in pagerank_mass(df, iters=2).collect()}
+    assert got[9] == 150_000
+    assert got == _reference(edges, 2)
+
+
+def test_deterministic_across_parallelism(spark):
+    edges = [(i, (i * 7) % 50) for i in range(50)] + [(i, i) for i in range(50)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    a = sorted(map(tuple, pagerank_mass(df.repartition(1), iters=3).collect()))
+    b = sorted(map(tuple, pagerank_mass(df.repartition(4), iters=3).collect()))
+    assert a == b == sorted(_reference(edges, 3).items())
+
+
+def test_hub_concentrates_mass(spark):
+    # star: every leaf points at the hub — hub must outrank every leaf
+    edges = [(i, 0) for i in range(1, 20)] + [(0, 0)] + [(i, i) for i in range(1, 20)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {r["id"]: r["mass"] for r in pagerank_mass(df, iters=3).collect()}
+    assert got[0] > max(v for k, v in got.items() if k != 0)
