@@ -1451,6 +1451,57 @@ SELECT id, mass FROM pr WHERE iter = {PAGERANK_ITERS} ORDER BY id
 """
 
 
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the fixture graphs via degree-ordered
+    orientation (operators/triangles.py) — every clique-of-20 node closes
+    C(19,2)=171 triangles; chain/star/isolated nodes close none.  Plain
+    equi-join construction, so fully oracle-checked."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.triangles import triangle_counts
+
+    raw, _ = all_graphs()
+    e = spark.createDataFrame(raw, "src bigint, dst bigint")
+    return triangle_counts(e).orderBy("id")
+
+
+def _triangles_sql() -> str:
+    from openie_spark.fixtures.gen_graphs import edges_sql
+
+    return f"""
+WITH
+edges_raw AS ({edges_sql()}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM edges_raw WHERE src <> dst
+),
+deg AS (
+  SELECT id, COUNT(*) AS deg FROM (
+    SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+  ) GROUP BY id
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.a ELSE u.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND u.a < u.b)
+              THEN u.b ELSE u.a END AS v
+  FROM und u JOIN deg da ON da.id = u.a JOIN deg db ON db.id = u.b
+),
+wedges AS (
+  SELECT x.u, x.v AS a, y.v AS b
+  FROM oriented x JOIN oriented y ON x.u = y.u AND x.v < y.v
+),
+tri AS (
+  SELECT w.u, w.a, w.b FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM und e WHERE e.a = w.a AND e.b = w.b)
+)
+SELECT id, COUNT(*) AS n_triangles FROM (
+  SELECT u AS id FROM tri
+  UNION ALL SELECT a FROM tri
+  UNION ALL SELECT b FROM tri
+) GROUP BY id ORDER BY id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1500,6 +1551,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "curation_manifest": q_curation_manifest,
     "pagerank": q_pagerank,
+    "triangle_counts": q_triangle_counts,
 }
 
 ORACLE_SQL = {
@@ -1533,4 +1585,5 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "curation_manifest": SQL_CURATION_MANIFEST,
     "pagerank": _pagerank_sql(),
+    "triangle_counts": _triangles_sql(),
 }
