@@ -116,6 +116,53 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-size token-window chunking with overlap — how long documents
+    become training examples.  Stride = chunk_tokens - overlap; the last
+    chunk may be short; empty docs yield no chunks.  Pure JVM array HOFs
+    (sequence → transform → slice → concat_ws): no Python, no explode
+    until the final posexplode, and the chunk text is re-joined with
+    single spaces (tokenization is the whitespace rule shared with the
+    other text operators).  Emits (id, chunk_idx, n_tokens, chunk_text)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != ""
+    )
+    base = df.select(F.col(id_col).alias("id"), toks.alias("w"))
+    n = F.size("w")
+    # chunk starts: 1, 1+stride, ... while start <= n (1-indexed slice);
+    # the final window is dropped when it would be pure overlap (fully
+    # contained in the previous chunk)
+    n_chunks = F.when(
+        n > 0, F.ceil((n - F.lit(overlap)) / F.lit(stride))
+    ).otherwise(F.lit(0))
+    idx = F.sequence(F.lit(0), F.greatest(n_chunks - 1, F.lit(0)))
+    chunks = F.when(
+        n > 0,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", F.slice("w", i * stride + 1, chunk_tokens)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = base.select("id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.select(
+        F.col("id").alias(id_col),
+        "chunk_idx",
+        F.size(F.split("chunk_text", " ")).alias("n_tokens"),
+        "chunk_text",
+    )
+
+
 def repetition_stats(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

@@ -1451,6 +1451,57 @@ SELECT id, mass FROM pr WHERE iter = {PAGERANK_ITERS} ORDER BY id
 """
 
 
+CHUNK_TOKENS = 64
+CHUNK_OVERLAP = 8
+
+
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap (text_analysis.
+    chunk_documents) — how long documents become training examples.  The
+    chunk text is projected to md5 + token count for the driver
+    canonicalizer; fully oracle-checked."""
+    from openie_spark.operators.text_analysis import chunk_documents
+
+    d = load(spark, sf_dir, "documents")
+    ch = chunk_documents(
+        d, "doc_id", "text", chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP
+    )
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def _doc_chunks_sql() -> str:
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id,
+    CASE WHEN len(w) > 0
+         THEN list_transform(
+                range(0, GREATEST(CAST(CEIL((len(w) - {CHUNK_OVERLAP}) / {stride}.0) AS BIGINT), 1)),
+                i -> struct_pack(
+                  ci := i,
+                  ct := array_to_string(w[i*{stride}+1 : i*{stride}+{CHUNK_TOKENS}], ' ')))
+         ELSE [] END AS chunks
+  FROM t
+),
+e AS (SELECT doc_id, unnest(chunks) AS ch FROM c)
+SELECT doc_id,
+       CAST(ch.ci AS INT) AS chunk_idx,
+       CAST(len(string_split(ch.ct, ' ')) AS INT) AS n_tokens,
+       md5(ch.ct) AS chunk_md5
+FROM e ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts over the fixture graphs via degree-ordered
     orientation (operators/triangles.py) — every clique-of-20 node closes
@@ -1552,6 +1603,7 @@ QUERIES = {
     "curation_manifest": q_curation_manifest,
     "pagerank": q_pagerank,
     "triangle_counts": q_triangle_counts,
+    "doc_chunks": q_doc_chunks,
 }
 
 ORACLE_SQL = {
@@ -1586,4 +1638,5 @@ ORACLE_SQL = {
     "curation_manifest": SQL_CURATION_MANIFEST,
     "pagerank": _pagerank_sql(),
     "triangle_counts": _triangles_sql(),
+    "doc_chunks": _doc_chunks_sql(),
 }

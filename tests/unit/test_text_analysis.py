@@ -88,3 +88,44 @@ def test_all_jvm_side(spark, docs):
         plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_chunk_documents_windows(spark):
+    from openie_spark.operators.text_analysis import chunk_documents
+
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(10))),  # 10 toks → 2 chunks @ (6,2)
+        (2, "a b c"),                               # shorter than a chunk
+        (3, ""),                                    # empty → no chunks
+        (4, "x " * 6),                              # exactly one chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    ch = chunk_documents(df, "doc_id", "text", chunk_tokens=6, overlap=2)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["n_tokens"], r["chunk_text"])
+        for r in ch.collect()
+    }
+    # doc 1: stride 4 → windows [0:6] and [4:10]
+    assert got[(1, 0)] == (6, "t0 t1 t2 t3 t4 t5")
+    assert got[(1, 1)] == (6, "t4 t5 t6 t7 t8 t9")
+    assert got[(2, 0)] == (3, "a b c")
+    assert got[(4, 0)] == (6, "x x x x x x")
+    assert not any(k[0] == 3 for k in got)  # empty doc emits nothing
+    assert len(got) == 4
+    # reconstruction property: dropping each chunk's overlap prefix (after
+    # chunk 0) re-concatenates to the original token stream
+    toks = []
+    for idx in range(2):
+        words = got[(1, idx)][1].split()
+        toks.extend(words if idx == 0 else words[2:])
+    assert toks == [f"t{i}" for i in range(10)]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from openie_spark.operators.text_analysis import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
