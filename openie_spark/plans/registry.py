@@ -1451,6 +1451,56 @@ SELECT id, mass FROM pr WHERE iter = {PAGERANK_ITERS} ORDER BY id
 """
 
 
+# per-language keep thresholds (first md5 byte, hex): 'ff' ~ 100%, '80' =
+# 50%, '40' = 25% — the deterministic rebalancing a multilingual corpus
+# applies to tame dominant languages.  One constant drives operator + oracle.
+STRATA_THRESHOLDS = {"de": "80", "en": "ff", "es": "80", "fr": "80", "zh": "40"}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified downsampling: a document is
+    kept iff the first md5 byte of (doc_id|text) falls below its
+    language's threshold — engine-portable (hex compares as ASCII in both
+    Spark's binary collation and DuckDB) and stable across reruns, unlike
+    rand()-based sampling.  Reports kept vs total per language."""
+    d = load(spark, sf_dir, "documents")
+    h2 = F.substring(
+        F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text"))),
+        1,
+        2,
+    )
+    thr = None
+    for lang in sorted(STRATA_THRESHOLDS):
+        cond = F.when(F.col("lang") == lang, F.lit(STRATA_THRESHOLDS[lang]))
+        thr = cond if thr is None else thr.when(
+            F.col("lang") == lang, F.lit(STRATA_THRESHOLDS[lang])
+        )
+    thr = thr.otherwise(F.lit("00"))  # unknown languages are dropped
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(h2 < thr, 1)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _stratified_sample_sql() -> str:
+    cases = "\n           ".join(
+        f"WHEN lang = '{lang}' THEN '{thr}'"
+        for lang, thr in sorted(STRATA_THRESHOLDS.items())
+    )
+    return f"""
+SELECT lang, COUNT(*) AS n_docs,
+       COUNT(*) FILTER (
+         WHERE substr(md5(CAST(doc_id AS VARCHAR) || '|' || text), 1, 2) <
+               CASE {cases} ELSE '00' END
+       ) AS n_kept
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 CHUNK_TOKENS = 64
 CHUNK_OVERLAP = 8
 
@@ -1604,6 +1654,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_counts": q_triangle_counts,
     "doc_chunks": q_doc_chunks,
+    "stratified_sample": q_stratified_sample,
 }
 
 ORACLE_SQL = {
@@ -1639,4 +1690,5 @@ ORACLE_SQL = {
     "pagerank": _pagerank_sql(),
     "triangle_counts": _triangles_sql(),
     "doc_chunks": _doc_chunks_sql(),
+    "stratified_sample": _stratified_sample_sql(),
 }

@@ -105,6 +105,35 @@ def test_resume_idempotent(spark, golden_docs_path, alias_dict_path, tmp_path):
     assert r3["extract_pending_docs"] > 0
 
 
+def test_pipeline_reliable_lineage_equals_local(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """The fault-tolerance seam is config-only: the full pipeline under
+    lineageCut=reliable (replicated checkpoints, persist-wrapped eager
+    writes) must produce vertices/edges byte-identical to the default
+    local mode.  Run on a corpus subset to keep the gate fast."""
+    from openie_spark.functions.lineage import CKPT_DIR_KEY, CONF_KEY
+
+    docs = load_docs(spark, golden_docs_path).where(F.col("doc_id") < "g00200")
+    aliases = load_alias_dict(spark, alias_dict_path)
+
+    cat_local = ParquetCatalog(spark, str(tmp_path / "loc"))
+    run_pipeline(spark, docs, aliases, cat_local, PipelineConfig(run_id="m"))
+    v_loc = sorted(map(tuple, cat_local.load_table("vertices").collect()))
+    e_loc = sorted(map(tuple, cat_local.load_table("edges").collect()))
+
+    spark.conf.set(CONF_KEY, "reliable")
+    spark.conf.set(CKPT_DIR_KEY, str(tmp_path / "rck"))
+    try:
+        cat_rel = ParquetCatalog(spark, str(tmp_path / "rel"))
+        run_pipeline(spark, docs, aliases, cat_rel, PipelineConfig(run_id="m"))
+        assert sorted(map(tuple, cat_rel.load_table("vertices").collect())) == v_loc
+        assert sorted(map(tuple, cat_rel.load_table("edges").collect())) == e_loc
+    finally:
+        spark.conf.unset(CONF_KEY)
+        spark.conf.unset(CKPT_DIR_KEY)
+
+
 def test_stage_resume_kill_after_link(
     spark, golden_docs_path, alias_dict_path, tmp_path
 ):
