@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Frozen per-language stopword marker sets for the n-gram/stopword heuristic.
 # Deliberately small + disjoint: the score is the count of marker hits.
@@ -160,6 +161,117 @@ def chunk_documents(
         "chunk_idx",
         F.size(F.split("chunk_text", " ")).alias("n_tokens"),
         "chunk_text",
+    )
+
+
+def word_ngrams_col(text_col: str, n: int):
+    """Distinct word n-grams as an array column (whitespace-lower tokens,
+    empties dropped — the tokenization rule shared with the other text
+    operators).  Docs shorter than n words yield an empty array."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    sz = F.size(w)
+    idx = F.sequence(F.lit(1), F.greatest(sz - (n - 1), F.lit(1)))
+    return F.when(
+        sz >= n,
+        F.array_distinct(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(w, i, n)))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Train/test decontamination (the n-gram-overlap procedure described in
+    Brown et al. 2020 appendix C — public knowledge): flag corpus documents
+    that share any word n-gram with a benchmark/eval set.
+
+    Scale shape: benchmark suites are MBs even when the corpus is 100 TB, so
+    the distinct benchmark grams are BROADCAST and the corpus side meets them
+    in a map-side hash join — only matching (doc, gram) rows survive into the
+    per-doc count shuffle, and per-doc totals come from the array column
+    without any shuffle.  The corpus text itself is never re-shuffled."""
+    grams = word_ngrams_col(text_col, n)
+    bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    base = corpus.select(F.col(id_col).alias("id"), grams.alias("g"))
+    hits = (
+        base.select("id", F.explode("g").alias("gram"))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy("id")
+        .agg(F.count("*").alias("n_hit_grams"))
+    )
+    return base.select("id", F.size("g").alias("n_grams")).join(hits, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_grams",
+        F.coalesce("n_hit_grams", F.lit(0)).alias("n_hit_grams"),
+        (F.coalesce("n_hit_grams", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Top-k distinctive terms per document by integer-exact TF-IDF.
+
+    idf is kept EXACT and engine-portable as ``(n_docs * 1e6) div df``
+    (integer division — same rule as the pagerank oracle: float idf/log is
+    libm-dependent and never hash-comparable across engines); the ranking it
+    induces is the classic tf·(N/df) order.  Ties break by (df asc, term asc)
+    so (id, term) uniqueness makes row_number deterministic.
+
+    Scale shape: tf agg shuffles on (doc, term) with map-side combine; the
+    term→df table is VOCABULARY-bounded, hence broadcast back onto tf; the
+    corpus size joins in as a 1-row broadcast.  The only other shuffle is the
+    per-doc top-k window, which compiles to WindowGroupLimit."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    terms = df.select(F.col(id_col).alias("id"), F.explode(w).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score_micros", F.expr("tf * ((n_docs * 1000000) div df)"))
+    )
+    wnd = Window.partitionBy("id").orderBy(
+        F.desc("score_micros"), F.asc("df"), F.asc("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(wnd))
+        .where(F.col("term_rank") <= k)
+        .select(
+            F.col("id").alias(id_col), "term_rank", "term", "tf", "df", "score_micros"
+        )
+    )
+
+
+# PII patterns shared verbatim by the Spark operator and the DuckDB oracle —
+# deliberately restricted to the regex subset where java.util.regex and RE2
+# agree (char classes, bounded repetition; no backrefs, no lookaround).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII redaction: count and replace email addresses and international
+    phone numbers with typed placeholders — the standard pre-training scrub
+    pass.  All JVM-side (regexp_count / regexp_replace); emails are replaced
+    first so the phone pass cannot match inside a placeholder."""
+    return (
+        df.withColumn("n_emails", F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE)))
+        .withColumn("n_phones", F.regexp_count(F.col(text_col), F.lit(PII_PHONE_RE)))
+        .withColumn(
+            "scrubbed",
+            F.regexp_replace(
+                F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>"),
+                PII_PHONE_RE,
+                "<PHONE>",
+            ),
+        )
     )
 
 

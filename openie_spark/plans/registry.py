@@ -1603,6 +1603,169 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+# Decontamination: one constant drives the Spark operator and the SQL oracle
+# (the lang_id pattern), so the two sides cannot drift.
+DECONTAM_N = 5
+DECONTAM_BENCH_PREFIX = "0"  # docs whose md5(text) starts with this = benchmark
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination (n-gram overlap vs an eval set — the
+    Brown et al. 2020 appendix-C procedure, public knowledge): benchmark =
+    the deterministic md5-prefix slice of documents, corpus = the rest;
+    flag corpus docs sharing any word 5-gram with the benchmark.  Benchmark
+    grams are tiny at any corpus scale → broadcast join; only matching
+    (doc, gram) rows reach the per-doc count shuffle
+    (text_analysis.ngram_decontaminate)."""
+    from openie_spark.operators.text_analysis import ngram_decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    is_bench = F.substring(F.md5("text"), 1, 1) == DECONTAM_BENCH_PREFIX
+    return ngram_decontaminate(
+        d.where(~is_bench), d.where(is_bench), "doc_id", "text", n=DECONTAM_N
+    ).orderBy("doc_id")
+
+
+def _decontaminate_sql() -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id, md5(text) AS h,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, h,
+         CASE WHEN len(w) >= {DECONTAM_N}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {DECONTAM_N - 1}),
+                     i -> array_to_string(w[i:i+{DECONTAM_N - 1}], ' ')))
+              ELSE [] END AS grams
+  FROM t
+),
+bench AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g
+  WHERE substr(h, 1, 1) = '{DECONTAM_BENCH_PREFIX}'
+),
+corpus AS (SELECT doc_id, grams FROM g WHERE substr(h, 1, 1) <> '{DECONTAM_BENCH_PREFIX}'),
+hits AS (
+  SELECT doc_id, COUNT(*) AS n_hit_grams
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM corpus) c
+  JOIN bench USING (gram)
+  GROUP BY doc_id
+)
+SELECT c.doc_id,
+       CAST(len(c.grams) AS INT) AS n_grams,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       CAST(COALESCE(h.n_hit_grams, 0) > 0 AS INT) AS contaminated
+FROM corpus c LEFT JOIN hits h USING (doc_id)
+ORDER BY c.doc_id
+"""
+
+
+TFIDF_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k distinctive terms per document by integer-exact TF-IDF
+    (text_analysis.tfidf_top_terms): idf stays exact as
+    (n_docs*1e6 div df) — the pagerank integer-arithmetic rule — so the
+    whole ranking is hash-comparable across engines.  df table is
+    vocabulary-bounded → broadcast; top-k compiles to WindowGroupLimit."""
+    from openie_spark.operators.text_analysis import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, "doc_id", "text", k=TFIDF_K).orderBy(
+        "doc_id", "term_rank"
+    )
+
+
+def _tfidf_sql() -> str:
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         tf.tf * ((n.n_docs * 1000000) // d.df) AS score_micros
+  FROM tf JOIN dfreq d USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (
+           PARTITION BY doc_id
+           ORDER BY score_micros DESC, df ASC, term ASC) AS INT) AS term_rank
+  FROM scored
+)
+SELECT doc_id, term_rank, term, tf, df, score_micros
+FROM ranked WHERE term_rank <= {TFIDF_K}
+ORDER BY doc_id, term_rank
+"""
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (text_analysis.scrub_pii) over deterministically
+    planted PII: the driver corpus contains none, so each doc gets one
+    synthetic email (all docs) and one phone number (every third doc)
+    appended IDENTICALLY in Spark and the oracle — the scrub result is then
+    compared by md5 of the redacted text, so a single mis-replaced byte
+    fails the hash.  Patterns live in text_analysis.PII_*_RE, restricted to
+    the java.util.regex ∩ RE2 subset."""
+    from openie_spark.operators.text_analysis import scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" tel +1-555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return (
+        scrub_pii(planted)
+        .select(
+            "doc_id",
+            "n_emails",
+            "n_phones",
+            F.md5("scrubbed").alias("scrubbed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _pii_scrub_sql() -> str:
+    from openie_spark.operators.text_analysis import PII_EMAIL_RE, PII_PHONE_RE
+
+    return rf"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ||
+         CASE WHEN doc_id % 3 = 0
+              THEN ' tel +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PII_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM planted ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1655,6 +1818,9 @@ QUERIES = {
     "triangle_counts": q_triangle_counts,
     "doc_chunks": q_doc_chunks,
     "stratified_sample": q_stratified_sample,
+    "decontaminate": q_decontaminate,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "pii_scrub": q_pii_scrub,
 }
 
 ORACLE_SQL = {
@@ -1691,4 +1857,7 @@ ORACLE_SQL = {
     "triangle_counts": _triangles_sql(),
     "doc_chunks": _doc_chunks_sql(),
     "stratified_sample": _stratified_sample_sql(),
+    "decontaminate": _decontaminate_sql(),
+    "tfidf_top_terms": _tfidf_sql(),
+    "pii_scrub": _pii_scrub_sql(),
 }
