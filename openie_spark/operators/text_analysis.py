@@ -179,6 +179,31 @@ def word_ngrams_col(text_col: str, n: int):
     ).otherwise(F.array().cast("array<string>"))
 
 
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 2,
+    top: int = 50,
+) -> DataFrame:
+    """Corpus-wide heavy hitters: the `top` word n-grams ranked by document
+    frequency (distinct-per-doc via word_ngrams_col, so a gram repeated
+    inside one doc counts once).  Ties break on the gram itself so the
+    cutoff is a total order and the result is engine-comparable.
+
+    Scale shape: per-doc distinct grams explode map-side; the only shuffle
+    is the groupBy(gram) count with partial aggregation (each task emits at
+    most its local vocabulary per gram), and the global top-k compiles to
+    TakeOrderedAndProject — no full sort, no window.  At 100 TB the reduce
+    side is bounded by the corpus n-gram vocabulary, not the corpus size."""
+    return (
+        df.select(F.explode(word_ngrams_col(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), F.asc("gram"))
+        .limit(top)
+    )
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -1766,6 +1766,94 @@ FROM planted ORDER BY doc_id
 """
 
 
+FREQ_NGRAM_N = 2
+FREQ_NGRAM_TOP = 50
+
+
+def q_frequent_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters (text_analysis.frequent_ngrams): top word
+    bigrams by document frequency, total-order tie-break so the LIMIT
+    cutoff is engine-identical.  Reduce side bounded by the n-gram
+    vocabulary; top-k compiles to TakeOrderedAndProject."""
+    from openie_spark.operators.text_analysis import frequent_ngrams
+
+    d = load(spark, sf_dir, "documents")
+    return frequent_ngrams(d, "text", n=FREQ_NGRAM_N, top=FREQ_NGRAM_TOP)
+
+
+def _frequent_ngrams_sql() -> str:
+    n = FREQ_NGRAM_N
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {n - 1}),
+                     i -> array_to_string(w[i:i+{n - 1}], ' ')))
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT gram, COUNT(*) AS df
+FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+GROUP BY gram
+ORDER BY df DESC, gram ASC
+LIMIT {FREQ_NGRAM_TOP}
+"""
+
+
+NEG_SAMPLES_N = 2
+
+
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-embedding negative sampling (operators/kg_sampling.py) over the
+    distinct (l_orderkey → l_partkey) bipartite edges: n_neg corrupted
+    tails per positive via the portable 60-bit md5 hash mod the tail
+    vocabulary, filtered against true edges.  Vocabulary broadcast; the
+    corruption itself is map-side column arithmetic."""
+    from openie_spark.operators.kg_sampling import negative_samples
+
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("head"), F.col("l_partkey").alias("tail")
+    ).distinct()
+    return negative_samples(
+        edges, "head", "tail", n_neg=NEG_SAMPLES_N, filtered=True
+    ).orderBy("head", "tail", "neg_rank")
+
+
+def _negative_samples_sql() -> str:
+    return rf"""
+WITH e AS (
+  SELECT DISTINCT l_orderkey AS head, l_partkey AS tail FROM lineitem
+),
+vocab AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY tail) - 1 AS neg_idx, tail AS neg_tail
+  FROM (SELECT DISTINCT tail FROM e)
+),
+nv AS (SELECT COUNT(*) AS n_vocab FROM vocab),
+cand AS (
+  SELECT e.head, e.tail, j.neg_rank,
+         CAST(('0x' || substr(md5(concat_ws('|', e.head, e.tail, j.neg_rank)), 1, 15))
+              AS BIGINT) % nv.n_vocab AS neg_idx
+  FROM e
+  CROSS JOIN (SELECT CAST(r AS INT) AS neg_rank
+              FROM range(0, {NEG_SAMPLES_N}) t(r)) j
+  CROSS JOIN nv
+)
+SELECT c.head, c.tail, c.neg_rank, v.neg_tail
+FROM cand c JOIN vocab v USING (neg_idx)
+WHERE NOT EXISTS (
+  SELECT 1 FROM e WHERE e.head = c.head AND e.tail = v.neg_tail
+)
+ORDER BY c.head, c.tail, c.neg_rank
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -1821,6 +1909,8 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "tfidf_top_terms": q_tfidf_top_terms,
     "pii_scrub": q_pii_scrub,
+    "frequent_ngrams": q_frequent_ngrams,
+    "negative_samples": q_negative_samples,
 }
 
 ORACLE_SQL = {
@@ -1860,4 +1950,6 @@ ORACLE_SQL = {
     "decontaminate": _decontaminate_sql(),
     "tfidf_top_terms": _tfidf_sql(),
     "pii_scrub": _pii_scrub_sql(),
+    "frequent_ngrams": _frequent_ngrams_sql(),
+    "negative_samples": _negative_samples_sql(),
 }

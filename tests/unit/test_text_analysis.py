@@ -129,3 +129,26 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id bigint, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_frequent_ngrams_doc_frequency_not_term_frequency(spark):
+    from openie_spark.operators.text_analysis import frequent_ngrams
+
+    rows = [
+        (1, "a b a b a b"),   # "a b" x3 inside ONE doc → df contribution 1
+        (2, "a b c"),         # "a b", "b c"
+        (3, "b c d"),         # "b c", "c d"
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {r.gram: r.df for r in frequent_ngrams(df, n=2, top=10).collect()}
+    assert got == {"a b": 2, "b a": 1, "b c": 2, "c d": 1}
+
+
+def test_frequent_ngrams_total_order_cutoff(spark):
+    from openie_spark.operators.text_analysis import frequent_ngrams
+
+    rows = [(i, "x y") for i in range(3)] + [(10, "p q"), (11, "m n")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = [r.gram for r in frequent_ngrams(df, n=2, top=2).collect()]
+    # "x y" df=3 first; then the df=1 tie breaks on gram asc → "m n"
+    assert out == ["x y", "m n"]
