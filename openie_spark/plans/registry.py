@@ -1603,6 +1603,66 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+BFS_K = 4
+
+
+def _bfs_seeds() -> list[int]:
+    """One seed per fixture graph, derived from the shape constants (the
+    lang_id lockstep pattern) so operator and oracle cannot drift: the
+    chain head, the first clique's first node, and the star hub."""
+    from openie_spark.fixtures import gen_graphs as G
+
+    return [G.CHAIN_BASE, G.CLIQUES_BASE, G.STAR_BASE]
+
+
+def q_khop_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source k-hop BFS (operators/bfs.py) over the undirected
+    orientation of the fixture graphs — third iterative DataFrame
+    algorithm with a full DuckDB oracle.  Hop counts are exact integers,
+    so values are bit-identical across engines.  Expected shape: the
+    chain contributes the first BFS_K+1 nodes, the seeded clique is fully
+    reached at dist 1, and the star hub reaches every leaf at dist 1."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.bfs import khop_distances
+
+    raw, _ = all_graphs()
+    e = spark.createDataFrame(raw, "src bigint, dst bigint")
+    und = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    return khop_distances(und, _bfs_seeds(), k=BFS_K).orderBy("id")
+
+
+def _khop_sql() -> str:
+    """Recursive min-distance propagation.  The recursive CTE uses bare
+    UNION deliberately: the working-table dedup bounds growth (the star's
+    hub⇄leaf oscillation would otherwise produce 10^8 rows by dist 3).
+    Helper CTEs use UNION ALL + DISTINCT per the WITH RECURSIVE gotcha
+    (every CTE in the block gets recursive semantics in DuckDB)."""
+    from openie_spark.fixtures.gen_graphs import edges_sql
+
+    seeds = ", ".join(f"({s})" for s in _bfs_seeds())
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({edges_sql()}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_raw
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges_raw
+  )
+),
+bfs AS (
+  SELECT CAST(id AS BIGINT) AS id, 0 AS d FROM (VALUES {seeds}) t(id)
+  UNION
+  SELECT e.dst AS id, b.d + 1 AS d
+  FROM bfs b JOIN und e ON e.src = b.id
+  WHERE b.d < {BFS_K}
+)
+SELECT id, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY id ORDER BY id
+"""
+
+
 # Decontamination: one constant drives the Spark operator and the SQL oracle
 # (the lang_id pattern), so the two sides cannot drift.
 DECONTAM_N = 5
@@ -1911,6 +1971,7 @@ QUERIES = {
     "pii_scrub": q_pii_scrub,
     "frequent_ngrams": q_frequent_ngrams,
     "negative_samples": q_negative_samples,
+    "khop_distances": q_khop_distances,
 }
 
 ORACLE_SQL = {
@@ -1952,4 +2013,5 @@ ORACLE_SQL = {
     "pii_scrub": _pii_scrub_sql(),
     "frequent_ngrams": _frequent_ngrams_sql(),
     "negative_samples": _negative_samples_sql(),
+    "khop_distances": _khop_sql(),
 }
