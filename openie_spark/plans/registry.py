@@ -1603,6 +1603,50 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+BLOOM_SEGMENT = "BUILDING"
+
+
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom pre-join pruning (functions/bloom.py): orders are filtered
+    map-side by a Bloom filter built from the BUILDING-segment customer
+    keys BEFORE the semi-join shuffle.  No false negatives → the result is
+    bit-identical to the plain semi join, which is exactly what the DuckDB
+    oracle states; the 100 TB win is the big-side shuffle volume."""
+    from openie_spark.functions.bloom import bloom_semi_join
+
+    cust = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == BLOOM_SEGMENT)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderstatus", "o_totalprice"
+    )
+    kept = bloom_semi_join(orders, cust, "custkey", m_bits=1 << 17, k=5)
+    return (
+        kept.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+                "revenue_cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_BLOOM_PRUNE_JOIN = f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+WHERE o_custkey IN (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'
+)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 BFS_K = 4
 
 
@@ -1972,6 +2016,7 @@ QUERIES = {
     "frequent_ngrams": q_frequent_ngrams,
     "negative_samples": q_negative_samples,
     "khop_distances": q_khop_distances,
+    "bloom_prune_join": q_bloom_prune_join,
 }
 
 ORACLE_SQL = {
@@ -2014,4 +2059,5 @@ ORACLE_SQL = {
     "frequent_ngrams": _frequent_ngrams_sql(),
     "negative_samples": _negative_samples_sql(),
     "khop_distances": _khop_sql(),
+    "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
 }
