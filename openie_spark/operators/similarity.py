@@ -326,3 +326,50 @@ def cosine_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization — the memory/SIMD scale path for ANN.  At the
+# 100 TB posture a float32 embedding corpus is 4x the size of its int8
+# quantization; every ANN family above runs unchanged over quantized
+# vectors with ~1/127 relative error per element.  All arithmetic below is
+# exact INTEGER arithmetic (the pagerank discipline) so the quantized
+# vectors are bit-identical across engines and the registry query can pin
+# every element through an md5 of the vector:
+#   1. milli-unit integerize:  v = round(x * 1000)::bigint
+#   2. per-vector scale:       s = max(abs(v))            (0 for zero vecs)
+#   3. quantize:               q = sign(v) * ((abs(v) * 127) div s)
+# The sign split matters: Spark's `div` truncates toward zero while
+# DuckDB's `//` floors, so negative operands disagree — positive-only
+# integral division is the portable core, sign re-applied outside.
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 127
+
+
+def quantize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "q_vec"
+) -> DataFrame:
+    """Add ``out_col`` (array<bigint>, every element in [-127, 127]) and
+    ``scale_milli`` (the per-vector milli-unit max-abs) to ``df``.  Pure
+    JVM higher-order functions — no UDF, stays in codegen."""
+    milli = F.transform(
+        vec_col, lambda x: F.round(x.cast("double") * 1000).cast("bigint")
+    )
+    df = df.withColumn("_vm", milli).withColumn(
+        "scale_milli",
+        F.coalesce(
+            F.array_max(F.transform("_vm", lambda v: F.abs(v))), F.lit(0)
+        ).cast("bigint"),
+    )
+    # Expression built via expr(): integral `div` is only reachable through
+    # SQL syntax (python // on Columns is float division + floor).
+    df = df.withColumn(
+        out_col,
+        F.expr(
+            f"transform(_vm, v -> CASE WHEN scale_milli = 0 THEN 0L "
+            f"WHEN v < 0 THEN -((-v) * {QUANT_LEVELS} div scale_milli) "
+            f"ELSE (v * {QUANT_LEVELS}) div scale_milli END)"
+        ),
+    )
+    return df.drop("_vm")

@@ -1603,6 +1603,61 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding column (similarity.
+    quantize_embeddings) — exact integer arithmetic end-to-end, so the
+    md5 over the quantized vector pins EVERY element against the oracle.
+    The sign-split positive `div` is the portable core (Spark div
+    truncates, DuckDB // floors — they agree only on non-negatives)."""
+    from openie_spark.operators.similarity import quantize_embeddings
+
+    e = load(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e, "embedding", "q_vec")
+    return q.select(
+        "vec_id",
+        "scale_milli",
+        F.aggregate(
+            F.transform("q_vec", lambda x: F.abs(x)),
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + v,
+        ).alias("q_l1"),
+        F.aggregate(
+            "q_vec", F.lit(0).cast("bigint"), lambda a, v: a + v
+        ).alias("q_sum"),
+        F.md5(
+            F.concat_ws(",", F.transform("q_vec", lambda x: x.cast("string")))
+        ).alias("q_md5"),
+    ).orderBy("vec_id")
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vm,
+         COALESCE(list_max(list_transform(vm, x -> abs(x))), 0) AS sc
+  FROM t
+),
+q AS (
+  SELECT vec_id, sc,
+         list_transform(vm, v -> CASE WHEN sc = 0 THEN 0
+                                      WHEN v < 0 THEN -((-v) * 127 // sc)
+                                      ELSE (v * 127) // sc END) AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(sc AS BIGINT) AS scale_milli,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       CAST(COALESCE(list_sum(qv), 0) AS BIGINT) AS q_sum,
+       md5(array_to_string(qv, ',')) AS q_md5
+FROM q ORDER BY vec_id
+"""
+
+
 BLOOM_SEGMENT = "BUILDING"
 
 
@@ -2017,6 +2072,7 @@ QUERIES = {
     "negative_samples": q_negative_samples,
     "khop_distances": q_khop_distances,
     "bloom_prune_join": q_bloom_prune_join,
+    "embedding_quantize": q_embedding_quantize,
 }
 
 ORACLE_SQL = {
@@ -2060,4 +2116,5 @@ ORACLE_SQL = {
     "negative_samples": _negative_samples_sql(),
     "khop_distances": _khop_sql(),
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
+    "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
 }

@@ -158,3 +158,65 @@ def test_srp_batch_keys_match_scalar(vectors):
         else:
             assert got[i] == srp_keys_scalar(v, DIM)
 
+
+
+# --- int8 scalar quantization (quantize_embeddings) ---------------------
+
+
+def test_quantize_range_and_extremes(spark):
+    from openie_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {
+        r["vec_id"]: r
+        for r in quantize_embeddings(df, "embedding").collect()
+    }
+    q1 = rows[1]["q_vec"]
+    assert rows[1]["scale_milli"] == 1000
+    # max-abs element maps to +-127 exactly; others scale linearly
+    assert q1 == [63, -127, 31, 0]  # (500*127)//1000, -(1000*127)//1000, ...
+    assert all(-127 <= v <= 127 for v in q1)
+    # zero vector: scale 0, all-zero quantization (no division by zero)
+    assert rows[2]["scale_milli"] == 0 and rows[2]["q_vec"] == [0, 0, 0, 0]
+
+
+def test_quantize_sign_symmetry(spark):
+    from openie_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.7, -0.7, 0.123, -0.123])], "vec_id int, embedding array<double>"
+    )
+    q = quantize_embeddings(df, "embedding").collect()[0]["q_vec"]
+    assert q[0] == -q[1] and q[2] == -q[3]
+
+
+def test_quantize_reconstruction_error_bound(spark):
+    from openie_spark.operators.similarity import quantize_embeddings
+
+    vals = [0.913, -0.211, 0.007, 0.499, -0.999, 0.361]
+    df = spark.createDataFrame(
+        [(1, vals)], "vec_id int, embedding array<double>"
+    )
+    r = quantize_embeddings(df, "embedding").collect()[0]
+    s = r["scale_milli"]
+    for x, qv in zip(vals, r["q_vec"]):
+        # dequantized value within one quantization step of the milli input
+        assert abs(round(x * 1000) - qv * s / 127) <= s / 127 + 1e-9
+
+
+def test_quantize_no_python_fence(spark):
+    from openie_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id int, embedding array<double>"
+    )
+    plan = (
+        quantize_embeddings(df, "embedding")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
