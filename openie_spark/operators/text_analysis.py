@@ -363,3 +363,66 @@ def repetition_stats(
             .alias("top_word_share"),
         )
     )
+
+
+def cooccurrence_lift(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_df: int = 2,
+    max_df: int = 50,
+    per_doc_cap: int = 20,
+    min_pair_df: int = 2,
+) -> DataFrame:
+    """Token co-occurrence scored by lift — the KG edge-weighting step that
+    turns "these two terms appear in the same documents" into a ranked
+    association edge (lift = P(a,b)/(P(a)P(b)); PMI's exponential, kept in
+    exact micro-unit integers instead of a float log so the score is
+    bit-identical across engines).
+
+    Scale shape (each guard exists because its absence is a 100 TB
+    failure mode):
+      - ABSOLUTE df band [min_df, max_df]: a ratio-only cap lets a token
+        in 1% of 10^9 docs (10^7 postings) into the pair join — the
+        ngram_jaccard lesson.  The kept-token table is vocab-bounded and
+        broadcast.
+      - per-doc rarest-K cap (row_number over (df, token) — a total
+        order, so deterministic): bounds per-doc pair fan-out at C(K,2)
+        regardless of document pathology.
+      - min_pair_df floor drops the long singleton tail before the lift
+        join.
+    The only unbounded shuffles are groupBy(token) and groupBy(pair),
+    both map-side combinable and vocabulary-bounded on the reduce side.
+    """
+    w = F.array_distinct(
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    )
+    toks = df.select(F.col(id_col).alias("id"), F.explode(w).alias("tok"))
+    tok_df = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("df"))
+        .where((F.col("df") >= min_df) & (F.col("df") <= max_df))
+    )
+    kept = toks.join(F.broadcast(tok_df), "tok")
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.asc("df"), F.asc("tok"))
+    )
+    kept = kept.withColumn("_rn", rn).where(F.col("_rn") <= per_doc_cap)
+    a = kept.select("id", F.col("tok").alias("a"), F.col("df").alias("df_a"))
+    b = kept.select("id", F.col("tok").alias("b"), F.col("df").alias("df_b"))
+    pairs = (
+        a.join(b, "id")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "df_a", "df_b")
+        .agg(F.count("*").alias("n_ab"))
+        .where(F.col("n_ab") >= min_pair_df)
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    return pairs.crossJoin(F.broadcast(n_docs)).select(
+        "a",
+        "b",
+        "n_ab",
+        F.expr("(1000000L * n_ab * n_docs) div (df_a * df_b)").alias(
+            "lift_micro"
+        ),
+    )

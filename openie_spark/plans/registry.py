@@ -1603,6 +1603,72 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+# one constant block drives operator call AND oracle SQL (lang_id pattern).
+# The synthetic documents table has a tiny closed vocabulary (~30 tokens,
+# each in >40% of docs), so the query opens max_df wide to stay non-vacuous;
+# real corpora set it near their stopword-pruning threshold (the band
+# semantics are unit-tested in test_cooc_df_band_excludes_rare_and_common).
+COOC_MIN_DF = 2
+COOC_MAX_DF = 1_000_000
+COOC_CAP = 20
+COOC_MIN_PAIR = 2
+COOC_TOP = 100
+
+
+def q_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence lift (text_analysis.cooccurrence_lift) — KG
+    association-edge weighting in exact micro-unit integers.  Marginals
+    (df) come from the full df-banded posting lists; the joint count runs
+    over the per-doc rarest-K capped rows (the bounded-fan-out shape);
+    the oracle mirrors both choices exactly."""
+    from openie_spark.operators.text_analysis import cooccurrence_lift
+
+    d = load(spark, sf_dir, "documents")
+    out = cooccurrence_lift(
+        d,
+        "doc_id",
+        "text",
+        min_df=COOC_MIN_DF,
+        max_df=COOC_MAX_DF,
+        per_doc_cap=COOC_CAP,
+        min_pair_df=COOC_MIN_PAIR,
+    )
+    return out.orderBy(F.desc("lift_micro"), "a", "b").limit(COOC_TOP)
+
+
+def _cooccurrence_sql() -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id AS id,
+         unnest(list_distinct(list_filter(
+           string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS tok
+  FROM documents
+),
+tok_df AS (
+  SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok
+  HAVING COUNT(*) BETWEEN {COOC_MIN_DF} AND {COOC_MAX_DF}
+),
+kept AS (
+  SELECT id, tok, df,
+         row_number() OVER (PARTITION BY id ORDER BY df ASC, tok ASC) AS rn
+  FROM toks JOIN tok_df USING (tok)
+),
+capped AS (SELECT * FROM kept WHERE rn <= {COOC_CAP}),
+pairs AS (
+  SELECT x.tok AS a, y.tok AS b, x.df AS df_a, y.df AS df_b,
+         COUNT(*) AS n_ab
+  FROM capped x JOIN capped y ON x.id = y.id AND x.tok < y.tok
+  GROUP BY 1, 2, 3, 4 HAVING COUNT(*) >= {COOC_MIN_PAIR}
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT a, b, CAST(n_ab AS BIGINT) AS n_ab,
+       CAST((1000000 * n_ab * n.n_docs) // (df_a * df_b) AS BIGINT) AS lift_micro
+FROM pairs, n
+ORDER BY lift_micro DESC, a, b
+LIMIT {COOC_TOP}
+"""
+
+
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding column (similarity.
     quantize_embeddings) — exact integer arithmetic end-to-end, so the
@@ -2073,6 +2139,7 @@ QUERIES = {
     "khop_distances": q_khop_distances,
     "bloom_prune_join": q_bloom_prune_join,
     "embedding_quantize": q_embedding_quantize,
+    "cooccurrence_lift": q_cooccurrence_lift,
 }
 
 ORACLE_SQL = {
@@ -2117,4 +2184,5 @@ ORACLE_SQL = {
     "khop_distances": _khop_sql(),
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
+    "cooccurrence_lift": _cooccurrence_sql(),
 }

@@ -152,3 +152,70 @@ def test_frequent_ngrams_total_order_cutoff(spark):
     out = [r.gram for r in frequent_ngrams(df, n=2, top=2).collect()]
     # "x y" df=3 first; then the df=1 tie breaks on gram asc → "m n"
     assert out == ["x y", "m n"]
+
+
+# --- co-occurrence lift (cooccurrence_lift) -----------------------------
+
+
+def _cooc(spark, rows, **kw):
+    from openie_spark.operators.text_analysis import cooccurrence_lift
+
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    return {
+        (r["a"], r["b"]): (r["n_ab"], r["lift_micro"])
+        for r in cooccurrence_lift(df, **kw).collect()
+    }
+
+
+def test_cooc_perfect_association(spark):
+    # x and y always together in 2 of 4 docs: lift = (2*4)/(2*2) = 2.0
+    rows = [("d1", "x y"), ("d2", "x y"), ("d3", "z w"), ("d4", "z w")]
+    got = _cooc(spark, rows, min_df=2, max_df=10, min_pair_df=2)
+    assert got[("x", "y")] == (2, 2_000_000)
+    assert got[("w", "z")] == (2, 2_000_000)
+    assert ("x", "z") not in got  # never co-occur
+
+
+def test_cooc_independent_tokens_lift_near_one(spark):
+    # p appears in all 4 docs, q in 2: lift(p,q) = (2*4)/(4*2) = 1.0
+    rows = [("d1", "p q"), ("d2", "p q"), ("d3", "p r"), ("d4", "p r")]
+    got = _cooc(spark, rows, min_df=2, max_df=10, min_pair_df=2)
+    assert got[("p", "q")] == (2, 1_000_000)
+
+
+def test_cooc_df_band_excludes_rare_and_common(spark):
+    rows = [("d%d" % i, "common filler%d rare" % i) for i in range(6)]
+    # 'common' df=6 > max_df=5; each 'filler_i' df=1 < min_df=2;
+    # 'rare' df=6 also excluded -> no pairs at all
+    got = _cooc(spark, rows, min_df=2, max_df=5, min_pair_df=1)
+    assert got == {}
+
+
+def test_cooc_per_doc_cap_bounds_fanout(spark):
+    # one pathological doc with 30 band-eligible tokens, cap=5:
+    # at most C(5,2)=10 pairs can originate from it
+    toks = " ".join(f"t{i:02d}" for i in range(30))
+    rows = [("big", toks), ("b2", toks)]  # df=2 for every token
+    got = _cooc(spark, rows, min_df=2, max_df=10, per_doc_cap=5, min_pair_df=1)
+    assert len(got) == 10
+    # deterministic rarest-K: ties on df broken by token asc -> t00..t04 kept
+    assert set(got) == {
+        (f"t{i:02d}", f"t{j:02d}") for i in range(5) for j in range(i + 1, 5)
+    }
+
+
+def test_cooc_deterministic_across_parallelism(spark):
+    from openie_spark.operators.text_analysis import cooccurrence_lift
+
+    rows = [
+        ("d%d" % i, " ".join(f"w{(i * k) % 7}" for k in range(1, 5)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    a = sorted(
+        map(tuple, cooccurrence_lift(df.repartition(1), min_df=2, max_df=20).collect())
+    )
+    b = sorted(
+        map(tuple, cooccurrence_lift(df.repartition(8), min_df=2, max_df=20).collect())
+    )
+    assert a == b and len(a) > 0
