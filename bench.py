@@ -183,6 +183,14 @@ def main() -> int:
             with_token_counts(with_quality(with_lang_id(documents)))
         ),
     )
+    timed(
+        "cooccurrence_lift",
+        lambda: force(registry.q_cooccurrence_lift(spark, sf_dir)),
+    )
+    timed(
+        "bloom_prune_join",
+        lambda: force(registry.q_bloom_prune_join(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     print(
