@@ -907,6 +907,54 @@ ORDER BY query_id, rnk
 """
 
 
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k over int8-quantized vectors (similarity.
+    int8_topk) — quantization AND inner product are exact integer
+    arithmetic, so the entire ranking is bit-identical across engines
+    with no micro-unit rounding step (unlike ann_topk's float cosine)."""
+    from openie_spark.operators.similarity import int8_topk
+
+    e = load(spark, sf_dir, "embeddings")
+    probes = e.where(F.col("vec_id") % 100 == 0)
+    return int8_topk(e, probes, k=5).orderBy("query_id", "rnk")
+
+
+SQL_ANN_TOPK_INT8 = """
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vm,
+         COALESCE(list_max(list_transform(vm, x -> abs(x))), 0) AS sc
+  FROM t
+),
+q8 AS (
+  SELECT vec_id, sc,
+         list_transform(vm, v -> CASE WHEN sc = 0 THEN 0
+                                      WHEN v < 0 THEN -((-v) * 127 // sc)
+                                      ELSE (v * 127) // sc END) AS qv
+  FROM s
+),
+probes AS (SELECT vec_id AS query_id, qv AS q_q FROM q8 WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         CAST(list_sum(list_transform(generate_series(1, len(c.qv)),
+              i -> p.q_q[i] * c.qv[i])) AS BIGINT) AS dot_q
+  FROM q8 c CROSS JOIN probes p WHERE c.vec_id <> p.query_id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY dot_q DESC, neighbor_id) AS rnk
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rnk, dot_q
+FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
+"""
+
+
 # --------------------------------------------------------------------------
 # Non-SQL-expressible queries (rows-only driver check; gated by pytest L2/L3)
 # --------------------------------------------------------------------------
@@ -2140,6 +2188,7 @@ QUERIES = {
     "bloom_prune_join": q_bloom_prune_join,
     "embedding_quantize": q_embedding_quantize,
     "cooccurrence_lift": q_cooccurrence_lift,
+    "ann_topk_int8": q_ann_topk_int8,
 }
 
 ORACLE_SQL = {
@@ -2185,4 +2234,5 @@ ORACLE_SQL = {
     "bloom_prune_join": SQL_BLOOM_PRUNE_JOIN,
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "cooccurrence_lift": _cooccurrence_sql(),
+    "ann_topk_int8": SQL_ANN_TOPK_INT8,
 }

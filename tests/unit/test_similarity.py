@@ -220,3 +220,49 @@ def test_quantize_no_python_fence(spark):
         .toString()
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_int8_topk_exact_small_case(spark):
+    from openie_spark.operators.similarity import int8_topk
+
+    # 4 corpus vectors in 2D; query = [1, 0] (vec_id 0)
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),   # most aligned
+        (2, [0.0, 1.0]),   # orthogonal
+        (3, [-1.0, 0.0]),  # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    probes = df.where("vec_id = 0")
+    got = [
+        (r["neighbor_id"], r["rnk"])
+        for r in int8_topk(df, probes, k=3).orderBy("rnk").collect()
+    ]
+    assert got == [(1, 1), (2, 2), (3, 3)]
+
+
+def test_int8_topk_agrees_with_float_bruteforce_topk(spark):
+    from openie_spark.operators.similarity import brute_force_topk, int8_topk
+
+    import math
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)]) for i in range(80)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    probes = df.where("vec_id % 20 = 0")
+    got = {
+        (r["query_id"], r["neighbor_id"])
+        for r in int8_topk(df, probes, k=5).collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(df, probes, k=5).collect()
+    }
+    # int8 IP vs float cosine: different metrics (no normalization), so
+    # perfect agreement is not expected — but on random vectors the top-5
+    # sets should overlap substantially (quantization error ~1/127)
+    assert len(got & want) >= int(0.5 * len(want))
+    assert len(got) == len(want) == 4 * 5
