@@ -1651,6 +1651,56 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-bounded k-core peeling (operators/kcore.py) over the fixture
+    graphs — fourth iterative DataFrame algorithm with a full DuckDB
+    oracle (recursive CTE whose working table is the alive edge set;
+    degree subqueries reference the working table).  At k=2/6 rounds the
+    star and 12 chain endpoints peel, the cliques are a stable fixpoint."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.kcore import kcore_nodes
+
+    raw, _ = all_graphs()
+    e = spark.createDataFrame(raw, "src bigint, dst bigint")
+    return kcore_nodes(e, k=KCORE_K, rounds=KCORE_ROUNDS).orderBy("id")
+
+
+def _kcore_sql() -> str:
+    """Helper CTEs use UNION ALL + DISTINCT per the WITH RECURSIVE gotcha;
+    the recursive term's degree subqueries see the WORKING TABLE (the
+    previous round's alive edges), which is exactly the peeling step."""
+    from openie_spark.fixtures.gen_graphs import edges_sql
+
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({edges_sql()}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges_raw WHERE src <> dst
+  )
+),
+core AS (
+  SELECT 0 AS it, src, dst FROM und
+  UNION ALL
+  SELECT it + 1, src, dst FROM core c
+  WHERE it < {KCORE_ROUNDS}
+    AND src IN (SELECT id FROM (SELECT src AS id, COUNT(*) AS d
+                                FROM core GROUP BY 1) t WHERE d >= {KCORE_K})
+    AND dst IN (SELECT id FROM (SELECT src AS id, COUNT(*) AS d
+                                FROM core GROUP BY 1) t WHERE d >= {KCORE_K})
+)
+SELECT src AS id, COUNT(*) AS deg
+FROM core WHERE it = {KCORE_ROUNDS}
+GROUP BY src ORDER BY id
+"""
+
+
 # one constant block drives operator call AND oracle SQL (lang_id pattern).
 # The synthetic documents table has a tiny closed vocabulary (~30 tokens,
 # each in >40% of docs), so the query opens max_df wide to stay non-vacuous;
@@ -2189,6 +2239,7 @@ QUERIES = {
     "embedding_quantize": q_embedding_quantize,
     "cooccurrence_lift": q_cooccurrence_lift,
     "ann_topk_int8": q_ann_topk_int8,
+    "kcore": q_kcore,
 }
 
 ORACLE_SQL = {
@@ -2235,4 +2286,5 @@ ORACLE_SQL = {
     "embedding_quantize": SQL_EMBEDDING_QUANTIZE,
     "cooccurrence_lift": _cooccurrence_sql(),
     "ann_topk_int8": SQL_ANN_TOPK_INT8,
+    "kcore": _kcore_sql(),
 }
