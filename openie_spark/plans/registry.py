@@ -1651,6 +1651,45 @@ SELECT id, COUNT(*) AS n_triangles FROM (
 """
 
 
+GROUP_SAMPLE_K = 25
+
+
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group fixed-size sampling: exactly K docs per
+    language, ranked by (md5(doc_id|text), doc_id) — the balanced-subset
+    selection a multilingual training mix applies, engine-portable because
+    the hash rank is a total order (unlike rand()-based sampling, the same
+    doc wins on ANY engine and any rerun).  Complements
+    stratified_sample's Bernoulli thresholding: this one gives exact
+    per-group counts.  Scale shape: one hash shuffle on lang + per-group
+    top-K, which compiles to WindowGroupLimit (rank pushed below the
+    sort, no full per-group materialization)."""
+    d = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= GROUP_SAMPLE_K)
+        .select("lang", F.col("rnk").cast("int").alias("rnk"), "doc_id")
+        .orderBy("lang", "rnk")
+    )
+
+
+SQL_GROUP_SAMPLE = f"""
+WITH r AS (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|' || text), doc_id
+         ) AS rnk
+  FROM documents
+)
+SELECT lang, CAST(rnk AS INT) AS rnk, doc_id
+FROM r WHERE rnk <= {GROUP_SAMPLE_K}
+ORDER BY lang, rnk
+"""
+
+
 KCORE_K = 2
 KCORE_ROUNDS = 6
 
@@ -2240,6 +2279,7 @@ QUERIES = {
     "cooccurrence_lift": q_cooccurrence_lift,
     "ann_topk_int8": q_ann_topk_int8,
     "kcore": q_kcore,
+    "group_sample": q_group_sample,
 }
 
 ORACLE_SQL = {
@@ -2287,4 +2327,5 @@ ORACLE_SQL = {
     "cooccurrence_lift": _cooccurrence_sql(),
     "ann_topk_int8": SQL_ANN_TOPK_INT8,
     "kcore": _kcore_sql(),
+    "group_sample": SQL_GROUP_SAMPLE,
 }
