@@ -191,6 +191,14 @@ def main() -> int:
         "bloom_prune_join",
         lambda: force(registry.q_bloom_prune_join(spark, sf_dir)),
     )
+    timed(
+        "pps_sample",
+        lambda: force(registry.q_pps_sample(spark, sf_dir)),
+    )
+    timed(
+        "relation_cardinality",
+        lambda: force(registry.q_relation_cardinality(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -55,11 +55,39 @@ def star(leaves: int = STAR_LEAVES, base: int = STAR_BASE, isolated: int = STAR_
     return edges, expected
 
 
+GRID_H = 30
+GRID_W = 30
+GRID_BASE = 2_000_000
+
+
+def grid(h: int = GRID_H, w: int = GRID_W, base: int = GRID_BASE) -> list[tuple[int, int]]:
+    """h×w lattice (right + down edges).  Node (r,c) ↦ base + r*w + c.
+    Rich common-neighbor structure for link prediction: diagonal pairs
+    share exactly 2 neighbors, straight distance-2 pairs exactly 1."""
+    edges = []
+    for r in range(h):
+        for c in range(w):
+            i = base + r * w + c
+            if c < w - 1:
+                edges.append((i, i + 1))
+            if r < h - 1:
+                edges.append((i, i + w))
+    return edges
+
+
 def all_graphs():
     e1, x1 = chain()
     e2, x2 = cliques()
     e3, x3 = star()
     return e1 + e2 + e3, {**x1, **x2, **x3}
+
+
+def linkpred_graphs() -> list[tuple[int, int]]:
+    """Edge list for the link-prediction fixture: the CC shapes (chain
+    contributes distance-2 pairs, cliques contribute none — fully adjacent,
+    star exercises the hub-degree cap) plus the lattice."""
+    e, _ = all_graphs()
+    return e + grid()
 
 
 def edges_sql() -> str:
@@ -81,4 +109,19 @@ def edges_sql() -> str:
   UNION ALL
   SELECT {STAR_ISO_BASE} + i AS src, {STAR_ISO_BASE} + i AS dst
   FROM range(0, {STAR_ISOLATED}) t(i)
+"""
+
+
+def linkpred_edges_sql() -> str:
+    """DuckDB SQL producing EXACTLY the ``linkpred_graphs()`` edge list
+    (CTE body) — derived from the same shape constants."""
+    return f"""{edges_sql()}
+  UNION ALL
+  SELECT {GRID_BASE} + r * {GRID_W} + c AS src,
+         {GRID_BASE} + r * {GRID_W} + c + 1 AS dst
+  FROM range(0, {GRID_H}) tr(r), range(0, {GRID_W - 1}) tc(c)
+  UNION ALL
+  SELECT {GRID_BASE} + r * {GRID_W} + c AS src,
+         {GRID_BASE} + (r + 1) * {GRID_W} + c AS dst
+  FROM range(0, {GRID_H - 1}) tr(r), range(0, {GRID_W}) tc(c)
 """

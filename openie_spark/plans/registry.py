@@ -1066,13 +1066,34 @@ def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: full-content md5 + shift-invariant rolling
-    min-hash over word 5-grams (xxhash64 — no DuckDB equivalent → rows-only)."""
+    min over portable 60-bit md5 hashes of word 5-grams — fully
+    oracle-checked (the gram hash is the md5-lockstep family, so DuckDB
+    replays every element bit-for-bit)."""
     from openie_spark.operators.text_analysis import with_fingerprint
 
     d = load(spark, sf_dir, "documents")
     return with_fingerprint(d).select(
         "doc_id", "fp_md5", "fp_rolling_min"
     ).orderBy("doc_id")
+
+
+SQL_DOC_FINGERPRINT = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       md5(text) AS fp_md5,
+       list_min(
+         list_transform(
+           range(0, greatest(len(toks) - 5, 0) + 1),
+           i -> CAST('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 15)
+                AS BIGINT)
+         )
+       ) AS fp_rolling_min
+FROM t
+ORDER BY doc_id
+"""
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1740,6 +1761,205 @@ GROUP BY src ORDER BY id
 """
 
 
+PPS_N_SAMPLES = 100
+PPS_BUCKET_WIDTH = 64
+
+
+def q_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted systematic (PPS) sampling of documents by n_chars
+    (operators/prefix_sum.py) — the fixed-budget training-mix draw.  The
+    cumulative weight comes from the bucketed two-phase prefix sum (ONE
+    full shuffle; never the single-partition global window), and the
+    selection rule is pure integer arithmetic, so DuckDB replays the
+    whole thing bit-for-bit against its own SUM() OVER (ORDER BY)."""
+    from openie_spark.operators.prefix_sum import pps_systematic_sample
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = pps_systematic_sample(
+        d, "doc_id", "n_chars", PPS_N_SAMPLES, bucket_width=PPS_BUCKET_WIDTH
+    )
+    return out.select("doc_id", "n_chars", "cum", "n_hits").orderBy("doc_id")
+
+
+SQL_PPS_SAMPLE = f"""
+WITH c AS (
+  SELECT doc_id, n_chars,
+         SUM(n_chars) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+),
+t AS (
+  SELECT greatest(1, max(cum) // {PPS_N_SAMPLES}) AS stride FROM c
+)
+SELECT doc_id, n_chars, CAST(cum AS BIGINT) AS cum,
+       CAST((cum // stride) - ((cum - n_chars) // stride) AS BIGINT) AS n_hits
+FROM c, t
+WHERE (cum // stride) - ((cum - n_chars) // stride) > 0
+ORDER BY doc_id
+"""
+
+
+# Cardinality-category thresholds in micro-units: avg ≤ 1.5 ⇒ "1-side"
+# (the TransE-eval convention, Bordes et al. 2013).  One constant drives
+# the Spark CASE and the SQL oracle.
+REL_CARD_THRESHOLD_MICRO = 1_500_000
+
+
+def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate relation-cardinality classification (1-1 / 1-N / N-1 /
+    N-N) — the KG-schema profiling step that drives corruption-side choice
+    in negative sampling and relation-type features.  The KG here is
+    derived deterministically from the star schema (placed_by, based_in,
+    located_in, contains, supplied_by edges), so the whole op runs on real
+    driver tables and is fully oracle-checked.
+
+    Exact integers throughout: tails-per-head / heads-per-tail are
+    micro-unit integral divisions (n_edges·1e6 div n_heads).  Scale shape:
+    union of projections → distinct → ONE groupBy(pred) with two distinct
+    aggregates (Catalyst plans the 3× expand + partial aggs; everything is
+    map-side combinable, result is predicate-vocabulary-bounded)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+
+    def edge(df, pred, h, t):
+        return df.select(
+            F.lit(pred).alias("pred"),
+            F.col(h).cast("long").alias("head"),
+            F.col(t).cast("long").alias("tail"),
+        )
+
+    edges = (
+        edge(o, "placed_by", "o_orderkey", "o_custkey")
+        .unionByName(edge(c, "based_in", "c_custkey", "c_nationkey"))
+        .unionByName(edge(s, "located_in", "s_suppkey", "s_nationkey"))
+        .unionByName(edge(n, "in_region", "n_nationkey", "n_regionkey"))
+        .unionByName(edge(li, "contains", "l_orderkey", "l_partkey"))
+        .unionByName(edge(li, "supplied_by", "l_partkey", "l_suppkey"))
+        .distinct()
+    )
+    agg = edges.groupBy("pred").agg(
+        F.count("*").alias("n_edges"),
+        F.countDistinct("head").alias("n_heads"),
+        F.countDistinct("tail").alias("n_tails"),
+    )
+    thr = REL_CARD_THRESHOLD_MICRO
+    return agg.select(
+        "pred",
+        "n_edges",
+        "n_heads",
+        "n_tails",
+        F.expr("CAST(n_edges * 1000000 AS BIGINT) div n_heads").alias("tph_micro"),
+        F.expr("CAST(n_edges * 1000000 AS BIGINT) div n_tails").alias("hpt_micro"),
+        F.expr(
+            f"""CASE
+              WHEN CAST(n_edges * 1000000 AS BIGINT) div n_heads <= {thr}
+               AND CAST(n_edges * 1000000 AS BIGINT) div n_tails <= {thr} THEN '1-1'
+              WHEN CAST(n_edges * 1000000 AS BIGINT) div n_heads > {thr}
+               AND CAST(n_edges * 1000000 AS BIGINT) div n_tails <= {thr} THEN '1-N'
+              WHEN CAST(n_edges * 1000000 AS BIGINT) div n_heads <= {thr} THEN 'N-1'
+              ELSE 'N-N' END"""
+        ).alias("category"),
+    ).orderBy("pred")
+
+
+def _relation_cardinality_sql() -> str:
+    thr = REL_CARD_THRESHOLD_MICRO
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT * FROM (
+    SELECT 'placed_by' AS pred, CAST(o_orderkey AS BIGINT) AS head,
+           CAST(o_custkey AS BIGINT) AS tail FROM orders
+    UNION ALL
+    SELECT 'based_in', c_custkey, c_nationkey FROM customer
+    UNION ALL
+    SELECT 'located_in', s_suppkey, s_nationkey FROM supplier
+    UNION ALL
+    SELECT 'in_region', n_nationkey, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'contains', l_orderkey, l_partkey FROM lineitem
+    UNION ALL
+    SELECT 'supplied_by', l_partkey, l_suppkey FROM lineitem
+  )
+),
+agg AS (
+  SELECT pred, COUNT(*) AS n_edges,
+         COUNT(DISTINCT head) AS n_heads,
+         COUNT(DISTINCT tail) AS n_tails
+  FROM edges GROUP BY pred
+)
+SELECT pred, n_edges, n_heads, n_tails,
+       (n_edges * 1000000) // n_heads AS tph_micro,
+       (n_edges * 1000000) // n_tails AS hpt_micro,
+       CASE
+         WHEN (n_edges * 1000000) // n_heads <= {thr}
+          AND (n_edges * 1000000) // n_tails <= {thr} THEN '1-1'
+         WHEN (n_edges * 1000000) // n_heads > {thr}
+          AND (n_edges * 1000000) // n_tails <= {thr} THEN '1-N'
+         WHEN (n_edges * 1000000) // n_heads <= {thr} THEN 'N-1'
+         ELSE 'N-N' END AS category
+FROM agg ORDER BY pred
+"""
+
+
+def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction (operators/linkpred.py)
+    over the link-prediction fixture (CC shapes + 30×30 lattice).  The
+    star's 10k-degree hub is excluded by the center-degree cap — the
+    hub-skew mitigation under test — so the half-million leaf-leaf pairs
+    it would emit never materialize; chain and lattice contribute exact
+    cn∈{1,2} pairs with integer micro-Jaccard.  Fully oracle-checked."""
+    from openie_spark.fixtures.gen_graphs import linkpred_graphs
+    from openie_spark.operators.linkpred import linkpred_scores
+
+    e = spark.createDataFrame(linkpred_graphs(), "src bigint, dst bigint")
+    return linkpred_scores(e).orderBy("a", "b")
+
+
+def _linkpred_sql() -> str:
+    from openie_spark.fixtures.gen_graphs import linkpred_edges_sql
+    from openie_spark.operators.linkpred import MAX_CENTER_DEGREE, MIN_COMMON
+
+    return f"""
+WITH
+edges_raw AS ({linkpred_edges_sql()}),
+adj AS (
+  SELECT DISTINCT node, nbr FROM (
+    SELECT src AS node, dst AS nbr FROM edges_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS node, src AS nbr FROM edges_raw WHERE src <> dst
+  )
+),
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM adj GROUP BY node
+),
+centers AS (
+  SELECT a.node, a.nbr FROM adj a
+  JOIN deg d ON d.node = a.node AND d.deg <= {MAX_CENTER_DEGREE}
+),
+pairs AS (
+  SELECT x.nbr AS a, y.nbr AS b, COUNT(*) AS cn
+  FROM centers x JOIN centers y ON x.node = y.node AND x.nbr < y.nbr
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_COMMON}
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM adj e WHERE e.node = p.a AND e.nbr = p.b
+  )
+)
+SELECT c.a, c.b, c.cn,
+       (1000000 * c.cn) // (da.deg + db.deg - c.cn) AS jaccard_micro
+FROM cand c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+ORDER BY a, b
+"""
+
+
 # one constant block drives operator call AND oracle SQL (lang_id pattern).
 # The synthetic documents table has a tiny closed vocabulary (~30 tokens,
 # each in >40% of docs), so the query opens max_df wide to stay non-vacuous;
@@ -2280,6 +2500,9 @@ QUERIES = {
     "ann_topk_int8": q_ann_topk_int8,
     "kcore": q_kcore,
     "group_sample": q_group_sample,
+    "linkpred": q_linkpred,
+    "relation_cardinality": q_relation_cardinality,
+    "pps_sample": q_pps_sample,
 }
 
 ORACLE_SQL = {
@@ -2328,4 +2551,8 @@ ORACLE_SQL = {
     "ann_topk_int8": SQL_ANN_TOPK_INT8,
     "kcore": _kcore_sql(),
     "group_sample": SQL_GROUP_SAMPLE,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "linkpred": _linkpred_sql(),
+    "relation_cardinality": _relation_cardinality_sql(),
+    "pps_sample": SQL_PPS_SAMPLE,
 }
