@@ -199,6 +199,10 @@ def main() -> int:
         "relation_cardinality",
         lambda: force(registry.q_relation_cardinality(spark, sf_dir)),
     )
+    timed(
+        "rule_support",
+        lambda: force(registry.q_rule_support(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

@@ -1805,19 +1805,11 @@ ORDER BY doc_id
 REL_CARD_THRESHOLD_MICRO = 1_500_000
 
 
-def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-predicate relation-cardinality classification (1-1 / 1-N / N-1 /
-    N-N) — the KG-schema profiling step that drives corruption-side choice
-    in negative sampling and relation-type features.  The KG here is
-    derived deterministically from the star schema (placed_by, based_in,
-    located_in, contains, supplied_by edges), so the whole op runs on real
-    driver tables and is fully oracle-checked.
-
-    Exact integers throughout: tails-per-head / heads-per-tail are
-    micro-unit integral divisions (n_edges·1e6 div n_heads).  Scale shape:
-    union of projections → distinct → ONE groupBy(pred) with two distinct
-    aggregates (Catalyst plans the 3× expand + partial aggs; everything is
-    map-side combinable, result is predicate-vocabulary-bounded)."""
+def star_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic KG over the star schema: distinct (pred, head, tail)
+    edges for placed_by / based_in / located_in / in_region / contains /
+    supplied_by.  Shared by relation_cardinality and rule_support; the
+    SQL twin is STAR_KG_EDGES_SQL (keep in lockstep)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -1831,7 +1823,7 @@ def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(t).cast("long").alias("tail"),
         )
 
-    edges = (
+    return (
         edge(o, "placed_by", "o_orderkey", "o_custkey")
         .unionByName(edge(c, "based_in", "c_custkey", "c_nationkey"))
         .unionByName(edge(s, "located_in", "s_suppkey", "s_nationkey"))
@@ -1840,6 +1832,39 @@ def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(edge(li, "supplied_by", "l_partkey", "l_suppkey"))
         .distinct()
     )
+
+
+STAR_KG_EDGES_SQL = """
+  SELECT DISTINCT * FROM (
+    SELECT 'placed_by' AS pred, CAST(o_orderkey AS BIGINT) AS head,
+           CAST(o_custkey AS BIGINT) AS tail FROM orders
+    UNION ALL
+    SELECT 'based_in', c_custkey, c_nationkey FROM customer
+    UNION ALL
+    SELECT 'located_in', s_suppkey, s_nationkey FROM supplier
+    UNION ALL
+    SELECT 'in_region', n_nationkey, n_regionkey FROM nation
+    UNION ALL
+    SELECT 'contains', l_orderkey, l_partkey FROM lineitem
+    UNION ALL
+    SELECT 'supplied_by', l_partkey, l_suppkey FROM lineitem
+  )
+"""
+
+
+def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-predicate relation-cardinality classification (1-1 / 1-N / N-1 /
+    N-N) — the KG-schema profiling step that drives corruption-side choice
+    in negative sampling and relation-type features.  The KG here is
+    derived deterministically from the star schema (star_kg_edges), so the
+    whole op runs on real driver tables and is fully oracle-checked.
+
+    Exact integers throughout: tails-per-head / heads-per-tail are
+    micro-unit integral divisions (n_edges·1e6 div n_heads).  Scale shape:
+    union of projections → distinct → ONE groupBy(pred) with two distinct
+    aggregates (Catalyst plans the 3× expand + partial aggs; everything is
+    map-side combinable, result is predicate-vocabulary-bounded)."""
+    edges = star_kg_edges(spark, sf_dir)
     agg = edges.groupBy("pred").agg(
         F.count("*").alias("n_edges"),
         F.countDistinct("head").alias("n_heads"),
@@ -1868,22 +1893,7 @@ def q_relation_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _relation_cardinality_sql() -> str:
     thr = REL_CARD_THRESHOLD_MICRO
     return f"""
-WITH edges AS (
-  SELECT DISTINCT * FROM (
-    SELECT 'placed_by' AS pred, CAST(o_orderkey AS BIGINT) AS head,
-           CAST(o_custkey AS BIGINT) AS tail FROM orders
-    UNION ALL
-    SELECT 'based_in', c_custkey, c_nationkey FROM customer
-    UNION ALL
-    SELECT 'located_in', s_suppkey, s_nationkey FROM supplier
-    UNION ALL
-    SELECT 'in_region', n_nationkey, n_regionkey FROM nation
-    UNION ALL
-    SELECT 'contains', l_orderkey, l_partkey FROM lineitem
-    UNION ALL
-    SELECT 'supplied_by', l_partkey, l_suppkey FROM lineitem
-  )
-),
+WITH edges AS ({STAR_KG_EDGES_SQL}),
 agg AS (
   SELECT pred, COUNT(*) AS n_edges,
          COUNT(DISTINCT head) AS n_heads,
@@ -1901,6 +1911,79 @@ SELECT pred, n_edges, n_heads, n_tails,
          WHEN (n_edges * 1000000) // n_heads <= {thr} THEN 'N-1'
          ELSE 'N-N' END AS category
 FROM agg ORDER BY pred
+"""
+
+
+RULE_MIN_SUPPORT = 25
+
+
+def q_rule_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style path-rule mining support (Galárraga et al., WWW 2013 —
+    public knowledge): for every relation composition r1∘r2 (paths
+    h -r1-> x -r2-> t) count the DISTINCT (h,t) pairs it derives
+    (body_count) and, for every predicate r3 actually connecting such a
+    pair, the overlap (support); std confidence = support / body_count in
+    exact micro-unit integral division, so DuckDB replays it bit-for-bit.
+
+    Scale shape: one equi-join on the shared entity (hot entities are
+    AQE-skew-join territory, the path set is collapsed to DISTINCT
+    (r1,r2,h,t) immediately — multiplicity never reaches the aggregate),
+    one equi-join of body pairs against the edge set on (h,t), two
+    map-side-combinable aggs.  Output is predicate-pair-bounded."""
+    edges = star_kg_edges(spark, sf_dir)
+    e1 = edges.select(
+        F.col("pred").alias("r1"), F.col("head").alias("h"), F.col("tail").alias("x")
+    )
+    e2 = edges.select(
+        F.col("pred").alias("r2"), F.col("head").alias("x"), F.col("tail").alias("t")
+    )
+    body = e1.join(e2, "x").select("r1", "r2", "h", "t").distinct()
+    body_counts = body.groupBy("r1", "r2").agg(F.count("*").alias("body_count"))
+    heads = edges.select(
+        F.col("pred").alias("r3"), F.col("head").alias("h"), F.col("tail").alias("t")
+    )
+    support = (
+        body.join(heads, ["h", "t"])
+        .groupBy("r1", "r2", "r3")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= RULE_MIN_SUPPORT)
+    )
+    return (
+        support.join(body_counts, ["r1", "r2"])
+        .select(
+            "r1",
+            "r2",
+            "r3",
+            "support",
+            "body_count",
+            F.expr("CAST(support * 1000000 AS BIGINT) div body_count").alias(
+                "conf_micro"
+            ),
+        )
+        .orderBy("r1", "r2", "r3")
+    )
+
+
+def _rule_support_sql() -> str:
+    return f"""
+WITH edges AS ({STAR_KG_EDGES_SQL}),
+body AS (
+  SELECT DISTINCT e1.pred AS r1, e2.pred AS r2, e1.head AS h, e2.tail AS t
+  FROM edges e1 JOIN edges e2 ON e1.tail = e2.head
+),
+body_counts AS (
+  SELECT r1, r2, COUNT(*) AS body_count FROM body GROUP BY r1, r2
+),
+support AS (
+  SELECT b.r1, b.r2, e.pred AS r3, COUNT(*) AS support
+  FROM body b JOIN edges e ON e.head = b.h AND e.tail = b.t
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= {RULE_MIN_SUPPORT}
+)
+SELECT s.r1, s.r2, s.r3, s.support, bc.body_count,
+       (s.support * 1000000) // bc.body_count AS conf_micro
+FROM support s JOIN body_counts bc USING (r1, r2)
+ORDER BY r1, r2, r3
 """
 
 
@@ -2503,6 +2586,7 @@ QUERIES = {
     "linkpred": q_linkpred,
     "relation_cardinality": q_relation_cardinality,
     "pps_sample": q_pps_sample,
+    "rule_support": q_rule_support,
 }
 
 ORACLE_SQL = {
@@ -2555,4 +2639,5 @@ ORACLE_SQL = {
     "linkpred": _linkpred_sql(),
     "relation_cardinality": _relation_cardinality_sql(),
     "pps_sample": SQL_PPS_SAMPLE,
+    "rule_support": _rule_support_sql(),
 }
