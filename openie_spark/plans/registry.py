@@ -1914,6 +1914,43 @@ FROM agg ORDER BY pred
 """
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion attribution (streaming/joins.py batch twin): signup →
+    purchase pairs per user within the gap.  Equality key + event-time
+    range — a hash join with an in-band filter, never a BNLJ; the SAME
+    join core runs as a watermarked stream-stream join in
+    attribution_stream, gated by twin-equality tests.  Exact
+    microsecond delays, fully oracle-checked."""
+    from openie_spark.streaming.joins import (
+        attribution_join,
+        split_trigger_conversion,
+    )
+
+    e = load(spark, sf_dir, "events")
+    t, c = split_trigger_conversion(e)
+    return attribution_join(t, c).orderBy("user_id", "trigger_id", "conversion_id")
+
+
+def _attribution_sql() -> str:
+    from openie_spark.streaming.joins import (
+        ATTRIBUTION_GAP_MIN,
+        CONVERSION_TYPE,
+        TRIGGER_TYPE,
+    )
+
+    return f"""
+SELECT t.user_id AS user_id, t.event_id AS trigger_id, c.event_id AS conversion_id,
+       epoch_us(c.ts) - epoch_us(t.ts) AS delay_us
+FROM events t
+JOIN events c
+  ON c.user_id = t.user_id
+ AND c.ts > t.ts
+ AND c.ts <= t.ts + INTERVAL {ATTRIBUTION_GAP_MIN} MINUTES
+WHERE t.event_type = '{TRIGGER_TYPE}' AND c.event_type = '{CONVERSION_TYPE}'
+ORDER BY user_id, trigger_id, conversion_id
+"""
+
+
 RULE_MIN_SUPPORT = 25
 
 
@@ -2587,6 +2624,7 @@ QUERIES = {
     "relation_cardinality": q_relation_cardinality,
     "pps_sample": q_pps_sample,
     "rule_support": q_rule_support,
+    "attribution": q_attribution,
 }
 
 ORACLE_SQL = {
@@ -2640,4 +2678,5 @@ ORACLE_SQL = {
     "relation_cardinality": _relation_cardinality_sql(),
     "pps_sample": SQL_PPS_SAMPLE,
     "rule_support": _rule_support_sql(),
+    "attribution": _attribution_sql(),
 }

@@ -291,3 +291,69 @@ def test_stateful_fn_monotone_merge_on_late_events():
     assert len(out2) == 1
     assert out2[0].iloc[0].tolist() == [7, 0, 600_000_000, 3]
     assert st.get == (nxt, nxt, 1)
+
+
+def test_stream_attribution_matches_batch_twin(spark, tmp_path):
+    """Stream-stream interval join: draining the events backlog with
+    availableNow yields EXACTLY the batch attribution_join pairs (the
+    watermark horizon covers the whole fixture, so nothing is late)."""
+    from openie_spark.sources.tables import load
+    from openie_spark.streaming.joins import (
+        attribution_join,
+        attribution_stream,
+        split_trigger_conversion,
+    )
+
+    events = load(spark, SF, "events")
+    ind, ck, out = (str(tmp_path / x) for x in ("in", "ck", "out"))
+    events.coalesce(2).write.mode("overwrite").parquet(ind)
+
+    q = attribution_stream(spark, ind, events.schema, ck, out, watermark="365 days")
+    assert q.awaitTermination(180)
+    got = {
+        (r["user_id"], r["trigger_id"], r["conversion_id"], r["delay_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    t, c = split_trigger_conversion(events)
+    want = {
+        (r["user_id"], r["trigger_id"], r["conversion_id"], r["delay_us"])
+        for r in attribution_join(t, c).collect()
+    }
+    assert got == want and len(want) > 0
+
+
+def test_stream_attribution_state_carries_across_runs(spark, tmp_path):
+    """A conversion landing in a LATER availableNow run on the same
+    checkpoint still attributes to a trigger from the first run (join
+    state persisted inside the watermark horizon)."""
+    import datetime
+
+    from openie_spark.streaming.joins import attribution_stream
+
+    base = datetime.datetime(2024, 6, 1)
+
+    def t(mins):
+        return base + datetime.timedelta(minutes=mins)
+
+    ind, ck, out = (str(tmp_path / x) for x in ("in", "ck", "out"))
+    first = spark.createDataFrame(
+        [(1, t(0), 7, "signup", 1.0, "{}")],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    first.coalesce(1).write.mode("overwrite").parquet(ind)
+    q = attribution_stream(spark, ind, first.schema, ck, out, watermark="2 hours")
+    assert q.awaitTermination(120)
+
+    second = spark.createDataFrame(
+        [(2, t(10), 7, "purchase", 5.0, "{}"),   # within gap -> attributed
+         (3, t(50), 7, "purchase", 5.0, "{}")],  # beyond 30-min gap -> not
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    second.coalesce(1).write.mode("append").parquet(ind)
+    q2 = attribution_stream(spark, ind, first.schema, ck, out, watermark="2 hours")
+    assert q2.awaitTermination(120)
+    got = {
+        (r["trigger_id"], r["conversion_id"], r["delay_us"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 2, 10 * 60 * 1_000_000)}
