@@ -199,10 +199,11 @@ def main() -> int:
         "relation_cardinality",
         lambda: force(registry.q_relation_cardinality(spark, sf_dir)),
     )
-    timed(
-        "rule_support",
-        lambda: force(registry.q_rule_support(spark, sf_dir)),
-    )
+    # rule_support is deliberately NOT a headline line: the r1∘r2
+    # composition over this synthetic star schema produces ~20M path rows
+    # at sf0.1 (cross-typed integer ids collide across predicates), so it
+    # measures fixture pathology, not corpus scaling.  It stays fully
+    # oracle-checked at sf0.01 via the driver contract.
 
     total = round(sum(timings.values()), 3)
     print(

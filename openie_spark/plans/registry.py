@@ -1914,6 +1914,87 @@ FROM agg ORDER BY pred
 """
 
 
+SEQ_PACK_CAPACITY = 512
+
+
+def q_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary + deterministic corpus encoding
+    (operators/tokenization.py): every doc's token-id sequence, ids
+    assigned by (freq desc, token asc) — a total order, so the same
+    dictionary falls out of any engine.  The ranking window is
+    vocabulary-bounded; the corpus-side work is one groupBy + one
+    broadcast join.  Fully oracle-checked (ids_csv strings equal)."""
+    from openie_spark.operators.tokenization import build_vocab, encode_docs
+
+    d = load(spark, sf_dir, "documents")
+    enc = encode_docs(d, build_vocab(d))
+    return enc.select("doc_id", "n_tokens", "ids_csv").orderBy("doc_id")
+
+
+SQL_VOCAB_ENCODE = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(list_transform(toks, (x, i) -> {'pos': i, 'token': x}),
+                recursive := true)
+  FROM base
+),
+vocab AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS token_id
+  FROM toks GROUP BY token
+)
+SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(v.token_id AS VARCHAR), ',' ORDER BY t.pos) AS ids_csv
+FROM toks t JOIN vocab v USING (token)
+GROUP BY t.doc_id
+ORDER BY doc_id
+"""
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-capacity sequence packing (operators/tokenization.py): docs
+    in id order assigned to 512-token bins via the bucketed two-phase
+    prefix sum; a boundary-straddling doc stays in its start bin (the
+    parallelizable formulation — greedy first-fit is sequentially
+    dependent).  Exact integers, fully oracle-checked."""
+    from openie_spark.operators.tokenization import pack_sequences
+
+    d = load(spark, sf_dir, "documents")
+    out = pack_sequences(d, SEQ_PACK_CAPACITY, bucket_width=PPS_BUCKET_WIDTH)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "bin_id",
+        "bin_offset",
+    ).orderBy("doc_id")
+
+
+SQL_SEQ_PACK = rf"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d
+)
+SELECT doc_id, n_tokens,
+       CAST((cum - n_tokens) // {SEQ_PACK_CAPACITY} AS BIGINT) AS bin_id,
+       CAST((cum - n_tokens) - ((cum - n_tokens) // {SEQ_PACK_CAPACITY})
+            * {SEQ_PACK_CAPACITY} AS BIGINT) AS bin_offset
+FROM c
+ORDER BY doc_id
+"""
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion attribution (streaming/joins.py batch twin): signup →
     purchase pairs per user within the gap.  Equality key + event-time
@@ -2625,6 +2706,8 @@ QUERIES = {
     "pps_sample": q_pps_sample,
     "rule_support": q_rule_support,
     "attribution": q_attribution,
+    "vocab_encode": q_vocab_encode,
+    "seq_pack": q_seq_pack,
 }
 
 ORACLE_SQL = {
@@ -2679,4 +2762,6 @@ ORACLE_SQL = {
     "pps_sample": SQL_PPS_SAMPLE,
     "rule_support": _rule_support_sql(),
     "attribution": _attribution_sql(),
+    "vocab_encode": SQL_VOCAB_ENCODE,
+    "seq_pack": SQL_SEQ_PACK,
 }
