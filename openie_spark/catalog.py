@@ -89,6 +89,51 @@ class ParquetCatalog:
         the shuffle)."""
         return self.spark.table(name)
 
+    def table_bytes(self, name: str) -> int:
+        """On-disk parquet bytes (driver-side listing — O(#files), the
+        same cost any table-maintenance planner pays)."""
+        return sum(
+            f.stat().st_size for f in Path(self._path(name)).glob("**/*.parquet")
+        )
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Small-file compaction: rewrite the table into
+        ceil(bytes / target) files of ~target size.  The 100 TB
+        operational reality this addresses: a 10k-task job writing per
+        partition-value produces millions of KB-sized files, and every
+        downstream scan then pays per-file open/footer cost that dwarfs
+        the read itself (the classic small-files problem).
+
+        Plain parquet has no atomic rewrite, and Spark cannot safely
+        overwrite a path it is reading — so this stages the compacted
+        copy under a sibling path and swaps via two renames (the
+        non-atomic window is the rename pair; Iceberg's
+        rewrite_data_files does this transactionally — see
+        IcebergCatalog.compact).  Returns the new file count.  Refuses
+        bucketed tables (a blind rewrite would silently drop the bucket
+        layout that co-located joins depend on)."""
+        import math
+        import shutil
+
+        if any(t.name == name for t in self.spark.catalog.listTables()):
+            raise ValueError(
+                f"compact: {name!r} is a bucketed catalog table; rewrite it "
+                "with write_bucketed to preserve the bucket layout"
+            )
+        src = Path(self._path(name))
+        n_files = max(1, math.ceil(self.table_bytes(name) / target_file_bytes))
+        tmp = src.with_name(src.name + "__compacting")
+        old = src.with_name(src.name + "__precompact")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        self.load_table(name).repartition(n_files).write.mode("overwrite").parquet(
+            str(tmp)
+        )
+        src.rename(old)
+        tmp.rename(src)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(list(src.glob("**/*.parquet")))
+
     def drop_table(self, name: str) -> None:
         import shutil
 
@@ -133,4 +178,16 @@ class IcebergCatalog:
                    AND t.partition_id = s.partition_id
                 WHEN MATCHED THEN UPDATE SET *
                 WHEN NOT MATCHED THEN INSERT *"""
+        )
+
+    def compact(self, name: str, target_file_bytes: int = 128 * 1024 * 1024) -> None:
+        """Transactional small-file rewrite via the Iceberg maintenance
+        procedure (snapshot-isolated; readers never see a partial
+        state — the property ParquetCatalog.compact can only
+        approximate with its rename swap)."""
+        self.spark.sql(
+            f"""CALL {self.namespace.split('.')[0]}.system.rewrite_data_files(
+                  table => '{self._tbl(name)}',
+                  options => map('target-file-size-bytes',
+                                 '{int(target_file_bytes)}'))"""
         )

@@ -50,3 +50,36 @@ def test_exists_and_drop(spark, tmp_path):
     assert cat.exists("t")
     cat.drop_table("t")
     assert not cat.exists("t")
+
+
+def test_compact_reduces_file_count_preserves_rows(spark, tmp_path):
+    """64 tiny files -> a handful of ~target-size files, byte-identical
+    row set, old generation cleaned up."""
+    from pathlib import Path
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = spark.range(10_000).selectExpr("id", "id * 2 AS v")
+    df.repartition(64).write.parquet(str(tmp_path / "t"))
+    before = len(list((tmp_path / "t").glob("**/*.parquet")))
+    assert before == 64
+
+    want = _rows(spark.read.parquet(str(tmp_path / "t")))
+    n_after = cat.compact("t", target_file_bytes=64 * 1024)
+    files = list((tmp_path / "t").glob("**/*.parquet"))
+    assert len(files) == n_after < before
+    assert _rows(cat.load_table("t")) == want
+    assert not (tmp_path / "t__compacting").exists()
+    assert not (tmp_path / "t__precompact").exists()
+
+
+def test_compact_refuses_bucketed_tables(spark, tmp_path):
+    import pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id % 7 AS k")
+    cat.write_bucketed(df, "bkt_compact_t", ["k"], 4)
+    try:
+        with pytest.raises(ValueError, match="bucketed"):
+            cat.compact("bkt_compact_t")
+    finally:
+        cat.drop_table("bkt_compact_t")
