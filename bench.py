@@ -43,6 +43,28 @@ def sf_of(sf_dir: str) -> float:
         return 0.0
 
 
+def warm_host_memory(gb: int = 12, budget_s: float = 60.0) -> float:
+    """Fault guest memory frames in BEFORE timing (see CLAUDE.md /
+    BASELINE.md round-3 advisory): after a VM restore, free memory is
+    cold and first-touch can run 10-100x slow, so the first JVM/Arrow
+    allocations pay hypervisor faults mid-measurement.  Touching pages
+    here and freeing them returns once-faulted frames to the guest free
+    list, which the executors then reuse fault-free.  Time-capped so a
+    severely degraded host skips warming instead of stalling the bench.
+    Returns the achieved touch rate in MB/s (a free health probe)."""
+    chunk = 256 * 1024 * 1024
+    touched = 0
+    t0 = time.perf_counter()
+    while touched < gb * 1024**3 and time.perf_counter() - t0 < budget_s:
+        b = bytearray(chunk)
+        for i in range(0, chunk, 4096):
+            b[i] = 1
+        touched += chunk
+        del b
+    dt = max(1e-9, time.perf_counter() - t0)
+    return round(touched / 1024**2 / dt, 1)
+
+
 def force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -105,6 +127,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    extras["warm_touch_mb_s"] = warm_host_memory()
 
     # -- warm the JVM + Python worker pool once (not timed) -----------------
     force(docs.limit(64).select("doc_id", F.explode(

@@ -2032,6 +2032,77 @@ ORDER BY user_id, trigger_id, conversion_id
 """
 
 
+MIS_ROUNDS = 16
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-priority maximal independent set
+    (operators/mis.py) over the CC fixture shapes — fifth iterative
+    DataFrame algorithm with a full DuckDB oracle (recursive CTE whose
+    working table is the alive node set; minima and their neighborhoods
+    are subqueries against it).  Every clique contributes exactly one
+    member; isolated (self-loop) nodes always enter."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.mis import maximal_independent_set
+
+    raw, _ = all_graphs()
+    e = spark.createDataFrame(raw, "src bigint, dst bigint")
+    return maximal_independent_set(e, rounds=MIS_ROUNDS).orderBy("node")
+
+
+def _mis_sql() -> str:
+    from openie_spark.fixtures.gen_graphs import edges_sql
+    from openie_spark.operators.mis import MAX_PRIORITY
+
+    minima = f"""
+      SELECT b.node FROM alive b JOIN pri pb ON pb.node = b.node
+      WHERE pb.p < COALESCE((SELECT MIN(pn.p)
+                             FROM und e
+                             JOIN alive c ON c.node = e.dst
+                             JOIN pri pn ON pn.node = e.dst
+                             WHERE e.src = b.node), {MAX_PRIORITY})"""
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({edges_sql()}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_raw WHERE src <> dst
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM edges_raw WHERE src <> dst
+  )
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges_raw UNION ALL SELECT dst FROM edges_raw
+  )
+),
+pri AS (
+  SELECT node,
+         CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15) AS BIGINT) AS p
+  FROM nodes
+),
+alive AS (
+  SELECT 0 AS it, node FROM nodes
+  UNION ALL
+  SELECT a.it + 1, a.node
+  FROM alive a
+  WHERE a.it < {MIS_ROUNDS}
+    AND a.node NOT IN ({minima})
+    AND a.node NOT IN (SELECT e.dst FROM und e WHERE e.src IN ({minima}))
+),
+last AS (SELECT node, MAX(it) AS it FROM alive GROUP BY node)
+SELECT l.node AS node
+FROM last l JOIN pri pl ON pl.node = l.node
+WHERE l.it < {MIS_ROUNDS}
+  AND pl.p < COALESCE((SELECT MIN(pn.p)
+                       FROM und e
+                       JOIN alive c ON c.node = e.dst AND c.it = l.it
+                       JOIN pri pn ON pn.node = e.dst
+                       WHERE e.src = l.node), {MAX_PRIORITY})
+ORDER BY l.node
+"""
+
+
 RULE_MIN_SUPPORT = 25
 
 
@@ -2708,6 +2779,7 @@ QUERIES = {
     "attribution": q_attribution,
     "vocab_encode": q_vocab_encode,
     "seq_pack": q_seq_pack,
+    "mis": q_mis,
 }
 
 ORACLE_SQL = {
@@ -2764,4 +2836,5 @@ ORACLE_SQL = {
     "attribution": _attribution_sql(),
     "vocab_encode": SQL_VOCAB_ENCODE,
     "seq_pack": SQL_SEQ_PACK,
+    "mis": _mis_sql(),
 }
