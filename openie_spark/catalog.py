@@ -121,6 +121,13 @@ class ParquetCatalog:
                 "with write_bucketed to preserve the bucket layout"
             )
         src = Path(self._path(name))
+        if any("=" in d.name for d in src.iterdir() if d.is_dir()):
+            raise ValueError(
+                f"compact: {name!r} is hive-partitioned; a blind rewrite "
+                "would flatten the partition layout (and its pruning) — "
+                "compact each partition directory, or rewrite via "
+                "write_table(partition_by=...)"
+            )
         n_files = max(1, math.ceil(self.table_bytes(name) / target_file_bytes))
         tmp = src.with_name(src.name + "__compacting")
         old = src.with_name(src.name + "__precompact")

@@ -103,7 +103,9 @@ def pps_systematic_sample(
     with_cum = bucketed_prefix_sum(
         df, key_col, weight_col, bucket_width, out_col=cum_col
     )
-    total = with_cum.agg(F.max(cum_col).alias("t"))
+    # total weight == max(cum), but summing the RAW weights avoids
+    # executing the whole prefix-sum subtree a second time for one scalar
+    total = df.agg(F.sum(weight_col).cast("long").alias("t"))
     stride = F.greatest(F.lit(1).cast("long"), F.expr(f"t div {n_samples}")).alias(
         "stride"
     )

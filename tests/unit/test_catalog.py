@@ -83,3 +83,13 @@ def test_compact_refuses_bucketed_tables(spark, tmp_path):
             cat.compact("bkt_compact_t")
     finally:
         cat.drop_table("bkt_compact_t")
+
+
+def test_compact_refuses_partitioned_tables(spark, tmp_path):
+    import pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path))
+    df = spark.range(100).selectExpr("id", "id % 3 AS p")
+    cat.write_table(df, "part_t", partition_by=["p"])
+    with pytest.raises(ValueError, match="partitioned"):
+        cat.compact("part_t")
