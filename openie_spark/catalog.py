@@ -106,27 +106,38 @@ class ParquetCatalog:
 
         Plain parquet has no atomic rewrite, and Spark cannot safely
         overwrite a path it is reading — so this stages the compacted
-        copy under a sibling path and swaps via two renames (the
-        non-atomic window is the rename pair; Iceberg's
+        copy under a sibling path and swaps via two renames (Iceberg's
         rewrite_data_files does this transactionally — see
-        IcebergCatalog.compact).  Returns the new file count.  Refuses
-        bucketed tables (a blind rewrite would silently drop the bucket
-        layout that co-located joins depend on)."""
+        IcebergCatalog.compact).  Returns the new file count.
+
+        Refusals (each protects an invariant a blind rewrite would
+        silently destroy): bucketed layouts (detected from the on-disk
+        `_NNNNN.cNNN` bucket-file naming — session-catalog state is
+        neither necessary nor sufficient), hive-partitioned layouts
+        (partition pruning), and a concurrent append landing between the
+        staging read and the swap (lost-update; detected by re-listing
+        the source files before the rename pair and aborting with the
+        original table untouched)."""
         import math
+        import re
         import shutil
 
-        if any(t.name == name for t in self.spark.catalog.listTables()):
-            raise ValueError(
-                f"compact: {name!r} is a bucketed catalog table; rewrite it "
-                "with write_bucketed to preserve the bucket layout"
-            )
         src = Path(self._path(name))
+        if not src.exists():
+            raise ValueError(f"compact: no such table {name!r} under {self.root}")
         if any("=" in d.name for d in src.iterdir() if d.is_dir()):
             raise ValueError(
                 f"compact: {name!r} is hive-partitioned; a blind rewrite "
                 "would flatten the partition layout (and its pruning) — "
                 "compact each partition directory, or rewrite via "
                 "write_table(partition_by=...)"
+            )
+        bucket_pat = re.compile(r"_\d{5}\.c\d{3}")
+        before = sorted(p.name for p in src.glob("**/*.parquet"))
+        if any(bucket_pat.search(f) for f in before):
+            raise ValueError(
+                f"compact: {name!r} has a bucketed file layout; rewrite it "
+                "with write_bucketed to preserve the bucket/sort clustering"
             )
         n_files = max(1, math.ceil(self.table_bytes(name) / target_file_bytes))
         tmp = src.with_name(src.name + "__compacting")
@@ -136,6 +147,12 @@ class ParquetCatalog:
         self.load_table(name).repartition(n_files).write.mode("overwrite").parquet(
             str(tmp)
         )
+        if sorted(p.name for p in src.glob("**/*.parquet")) != before:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise RuntimeError(
+                f"compact: {name!r} changed during compaction (concurrent "
+                "append?); aborted with the original table untouched"
+            )
         src.rename(old)
         tmp.rename(src)
         shutil.rmtree(old, ignore_errors=True)

@@ -31,15 +31,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def portable_hash60(*cols) -> "F.Column":
-    """60-bit engine-portable hash: md5 over '|'-joined inputs, first 15 hex
-    chars as a non-negative bigint.  DuckDB twin:
-    CAST('0x' || substr(md5(concat_ws('|', ...)),1,15) AS BIGINT)."""
-    return F.conv(
-        F.substring(F.md5(F.concat_ws("|", *[F.col(c) if isinstance(c, str) else c for c in cols])), 1, 15),
-        16,
-        10,
-    ).cast("long")
+# canonical home: functions/hashing.py (re-exported here for existing
+# imports; the scheme must stay in ONE place so its DuckDB twin can't fork)
+from openie_spark.functions.hashing import portable_hash60 as portable_hash60
 
 
 def negative_samples(

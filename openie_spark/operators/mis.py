@@ -34,18 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from openie_spark.functions.hashing import portable_hash60
 from openie_spark.functions.lineage import cut_lineage
 from openie_spark.operators.kcore import undirect
 
 MAX_PRIORITY = (1 << 63) - 1
-
-
-def _priority(col):
-    """Portable 60-bit md5 priority (Spark twin of
-    CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15) AS BIGINT))."""
-    return F.conv(
-        F.substring(F.md5(F.col(col).cast("string")), 1, 15), 16, 10
-    ).cast("long")
 
 
 def maximal_independent_set(edges: DataFrame, rounds: int = 16) -> DataFrame:
@@ -58,7 +51,12 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16) -> DataFrame:
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    alive = cut_lineage(nodes, eager=True)
+    # priority materialized ONCE with the alive set (the DuckDB oracle's
+    # `pri` table) — the loop never re-evaluates md5 over the adjacency
+    alive = cut_lineage(
+        nodes.withColumn("p", portable_hash60(F.col("node").cast("string"))),
+        eager=True,
+    )
     n_alive = alive.count()
     spark = edges.sparkSession
     mis = spark.createDataFrame([], "node bigint")
@@ -66,24 +64,24 @@ def maximal_independent_set(edges: DataFrame, rounds: int = 16) -> DataFrame:
     for _ in range(rounds):
         if n_alive == 0:
             break
-        # adjacency restricted to alive nodes (both endpoints)
+        # adjacency restricted to alive nodes, carrying the dst priority
         adj = und.join(
             alive.select(F.col("node").alias("src")), "src", "left_semi"
-        ).join(alive.select(F.col("node").alias("dst")), "dst", "left_semi")
-        min_nbr = adj.groupBy("src").agg(F.min(_priority("dst")).alias("min_nbr_p"))
+        ).join(
+            alive.select(F.col("node").alias("dst"), F.col("p").alias("dst_p")),
+            "dst",
+        )
+        min_nbr = adj.groupBy("src").agg(F.min("dst_p").alias("min_nbr_p"))
         minima = (
             alive.join(min_nbr, alive.node == min_nbr.src, "left")
-            .where(
-                _priority("node")
-                < F.coalesce(F.col("min_nbr_p"), F.lit(MAX_PRIORITY))
-            )
-            .select("node")
+            .where(F.col("p") < F.coalesce(F.col("min_nbr_p"), F.lit(MAX_PRIORITY)))
+            .select("node", "p")
         )
-        mis = mis.unionByName(minima)
+        mis = mis.unionByName(minima.select("node"))
         dead_nbrs = adj.join(
             minima.select(F.col("node").alias("src")), "src", "left_semi"
         ).select(F.col("dst").alias("node"))
-        dead = minima.unionByName(dead_nbrs).distinct()
+        dead = minima.select("node").unionByName(dead_nbrs).distinct()
         alive = cut_lineage(alive.join(dead, "node", "left_anti"), eager=True)
         mis = cut_lineage(mis, eager=True)
         n_alive = alive.count()

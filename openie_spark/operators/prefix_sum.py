@@ -100,6 +100,11 @@ def pps_systematic_sample(
     reports it (large docs count more than once in the drawn mix — the
     PPS semantics).  Requires positive integer weights; yields
     ~n_samples rows (± rounding of the last stride)."""
+    reserved = {"stride", "n_hits", cum_col} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"pps_systematic_sample: reserved column names in input: {sorted(reserved)}"
+        )
     with_cum = bucketed_prefix_sum(
         df, key_col, weight_col, bucket_width, out_col=cum_col
     )

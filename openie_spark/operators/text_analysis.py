@@ -108,21 +108,18 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     shift-invariant rolling fingerprint = min over word-5-gram hashes
     (winnowing-style), robust to appends/prefix edits.
 
-    The gram hash is the engine-portable 60-bit md5 scheme (see
-    kg_sampling.portable_hash60) rather than xxhash64, so the whole column
+    The gram hash is the engine-portable 60-bit md5 scheme
+    (functions/hashing.portable_hash60) rather than xxhash64, so the whole column
     is bit-reproducible on any engine and the driver can oracle-check it
     (DuckDB twin: CAST('0x' || substr(md5(gram),1,15) AS BIGINT)).  Still
     pure JVM built-ins — md5/conv inside an array `transform`, one pass,
     no Python fence."""
+    from openie_spark.functions.hashing import portable_hash60
+
     toks = tokens_col(text_col)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - 5, F.lit(0)))
     gram_hashes = F.transform(
-        idx,
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 5))), 1, 15),
-            16,
-            10,
-        ).cast("long"),
+        idx, lambda i: portable_hash60(F.concat_ws(" ", F.slice(toks, i + 1, 5)))
     )
     return df.withColumn("fp_md5", F.md5(F.col(text_col))).withColumn(
         "fp_rolling_min", F.array_min(gram_hashes)
