@@ -1330,7 +1330,7 @@ WITH tagged AS (
          length(text) AS n
   FROM documents
 )
-SELECT lang, split, COUNT(*) AS n_docs, SUM(n) AS total_chars
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_chars
 FROM tagged GROUP BY lang, split ORDER BY lang, split
 """
 
@@ -1437,7 +1437,7 @@ tagged AS (
          n_chars
   FROM kept
 )
-SELECT lang, split, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+SELECT lang, split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM tagged GROUP BY lang, split ORDER BY lang, split
 """
 
@@ -2103,77 +2103,19 @@ ORDER BY l.node
 """
 
 
-RULE_MIN_SUPPORT = 25
-
-
 def q_rule_support(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AMIE-style path-rule mining support (Galárraga et al., WWW 2013 —
-    public knowledge): for every relation composition r1∘r2 (paths
-    h -r1-> x -r2-> t) count the DISTINCT (h,t) pairs it derives
-    (body_count) and, for every predicate r3 actually connecting such a
-    pair, the overlap (support); std confidence = support / body_count in
-    exact micro-unit integral division, so DuckDB replays it bit-for-bit.
+    """AMIE-style path-rule mining over the star KG — single home is
+    operators/rules.py (degree-capped composition join; the hot-mid
+    exclusion is declared semantics shared with the SQL twin)."""
+    from openie_spark.operators.rules import rule_support
 
-    Scale shape: one equi-join on the shared entity (hot entities are
-    AQE-skew-join territory, the path set is collapsed to DISTINCT
-    (r1,r2,h,t) immediately — multiplicity never reaches the aggregate),
-    one equi-join of body pairs against the edge set on (h,t), two
-    map-side-combinable aggs.  Output is predicate-pair-bounded."""
-    edges = star_kg_edges(spark, sf_dir)
-    e1 = edges.select(
-        F.col("pred").alias("r1"), F.col("head").alias("h"), F.col("tail").alias("x")
-    )
-    e2 = edges.select(
-        F.col("pred").alias("r2"), F.col("head").alias("x"), F.col("tail").alias("t")
-    )
-    body = e1.join(e2, "x").select("r1", "r2", "h", "t").distinct()
-    body_counts = body.groupBy("r1", "r2").agg(F.count("*").alias("body_count"))
-    heads = edges.select(
-        F.col("pred").alias("r3"), F.col("head").alias("h"), F.col("tail").alias("t")
-    )
-    support = (
-        body.join(heads, ["h", "t"])
-        .groupBy("r1", "r2", "r3")
-        .agg(F.count("*").alias("support"))
-        .where(F.col("support") >= RULE_MIN_SUPPORT)
-    )
-    return (
-        support.join(body_counts, ["r1", "r2"])
-        .select(
-            "r1",
-            "r2",
-            "r3",
-            "support",
-            "body_count",
-            F.expr("CAST(support * 1000000 AS BIGINT) div body_count").alias(
-                "conf_micro"
-            ),
-        )
-        .orderBy("r1", "r2", "r3")
-    )
+    return rule_support(star_kg_edges(spark, sf_dir)).orderBy("r1", "r2", "r3")
 
 
 def _rule_support_sql() -> str:
-    return f"""
-WITH edges AS ({STAR_KG_EDGES_SQL}),
-body AS (
-  SELECT DISTINCT e1.pred AS r1, e2.pred AS r2, e1.head AS h, e2.tail AS t
-  FROM edges e1 JOIN edges e2 ON e1.tail = e2.head
-),
-body_counts AS (
-  SELECT r1, r2, COUNT(*) AS body_count FROM body GROUP BY r1, r2
-),
-support AS (
-  SELECT b.r1, b.r2, e.pred AS r3, COUNT(*) AS support
-  FROM body b JOIN edges e ON e.head = b.h AND e.tail = b.t
-  GROUP BY 1, 2, 3
-  HAVING COUNT(*) >= {RULE_MIN_SUPPORT}
-)
-SELECT s.r1, s.r2, s.r3, s.support, bc.body_count,
-       (s.support * 1000000) // bc.body_count AS conf_micro
-FROM support s JOIN body_counts bc USING (r1, r2)
-ORDER BY r1, r2, r3
-"""
+    from openie_spark.operators.rules import rule_support_sql
+
+    return rule_support_sql(STAR_KG_EDGES_SQL)
 
 
 def q_linkpred(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -8,6 +8,7 @@ import math
 from pathlib import Path
 
 import duckdb
+import numpy as np
 import pandas as pd
 import pytest
 
@@ -53,20 +54,35 @@ def _assert_canon_safe_schema(df) -> None:
     assert not bad, f"driver-canon-unsafe complex-typed columns: {bad}"
 
 
+def _tagged(v):
+    """Dtype-strict cell canonicalization.  The driver hashes *serialized*
+    values, so ``123456`` (Spark BIGINT) vs ``123456.0`` (DuckDB
+    HUGEINT→float64) MUST mismatch here too — Python's lax ``123456 ==
+    123456.0`` let exactly that defect class (r3 ``train_val_split``) pass
+    locally and fail the driver.  Each value is tagged with its broad kind
+    (bool/int/float/time/bytes/str) so cross-kind equality is impossible,
+    while width differences within a kind (int32 vs int64) still compare
+    equal, matching the driver's serialized form."""
+    if v is None:
+        return ("none",)
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        fv = float(v)
+        return ("f", "nan") if math.isnan(fv) else ("f", round(fv, 6))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, bytes):
+        return ("y", v)
+    return ("s", str(v))
+
+
 def _canon(df: pd.DataFrame) -> list[tuple]:
     df = _driver_sort(df)
     df = df[sorted(df.columns)]
-    rows = []
-    for row in df.itertuples(index=False):
-        canon_row = []
-        for v in row:
-            if isinstance(v, float):
-                canon_row.append(round(v, 6) if not math.isnan(v) else "nan")
-            elif hasattr(v, "isoformat"):
-                canon_row.append(v.isoformat())
-            else:
-                canon_row.append(v)
-        rows.append(tuple(canon_row))
+    rows = [tuple(_tagged(v) for v in row) for row in df.itertuples(index=False)]
     return sorted(rows, key=repr)
 
 
@@ -90,6 +106,21 @@ def test_oracle_parity(spark, name):
     assert a == b, f"first mismatches at {mismatches}: " + "; ".join(
         f"{a[i]} != {b[i]}" for i in mismatches
     )
+
+
+def test_canon_is_dtype_strict():
+    """Regression for the r3 ``train_val_split`` defect class: a frame
+    whose column came back int vs the same values as float64 (DuckDB
+    HUGEINT promotion) must FAIL the local compare, exactly as the
+    driver's serializing hash does."""
+    ints = pd.DataFrame({"k": ["a", "b"], "v": np.array([1, 2], dtype="int64")})
+    flts = pd.DataFrame({"k": ["a", "b"], "v": np.array([1.0, 2.0], dtype="float64")})
+    assert _canon(ints) != _canon(flts)
+    assert _canon(ints) == _canon(ints.copy())
+    # bool-vs-int is likewise distinct (serialized True != 1)
+    bools = pd.DataFrame({"k": ["a", "b"], "v": np.array([True, False])})
+    zeroone = pd.DataFrame({"k": ["a", "b"], "v": np.array([1, 0], dtype="int64")})
+    assert _canon(bools) != _canon(zeroone)
 
 
 def test_rows_only_queries(spark):
