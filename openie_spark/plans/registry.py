@@ -967,8 +967,10 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_clause_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RULESET v2 clause-type distribution over the extracted triples
-    (SV/SVC/SVO/SVA rollup; rows-only — extraction is not
-    SQL-expressible)."""
+    (SV/SVC/SVO/SVA rollup).  Oracle-checked: the DuckDB side aggregates
+    the spec-side triples fixture (gen_spec_triples — the pure-Python
+    frozen rules run single-process over the same docs), so the compare
+    exercises the whole distributed extraction path, not just SQL."""
     t = extract_stage(_docs(spark, sf_dir))
     return (
         t.groupBy("clause_type")
@@ -979,6 +981,25 @@ def q_clause_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("clause_type")
     )
+
+
+# The driver's oracle compare runs at sf=0.01 (TESTDATA.md / parity test);
+# extraction-derived oracles aggregate the spec fixture built for exactly
+# that scale.  Queries still accept any sf_dir — only the ORACLE is pinned.
+ORACLE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _clause_stats_sql() -> str:
+    from openie_spark.fixtures.gen_spec_triples import spec_triples_path
+
+    return f"""
+SELECT clause_type,
+       COUNT(*) AS n_triples,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       CAST(SUM(length(rel)) AS BIGINT) AS sum_rel_chars
+FROM read_parquet('{spec_triples_path(ORACLE_SF_DIR)}')
+GROUP BY clause_type ORDER BY clause_type
+"""
 
 
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,9 +1466,9 @@ FROM tagged GROUP BY lang, split ORDER BY lang, split
 def q_dep_arc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RULESET v3 dependency-arc surface: explode the per-triple arc list
     and count arcs per label (nsubj/obj/obl/case/cop/aux/...), split by
-    base vs conjunction-expanded rows.  Rows-only (deps are produced by
-    the frozen Python spec, not SQL-expressible); the arc semantics are
-    gated by tests/spec/test_ruleset_v3.py."""
+    base vs conjunction-expanded rows.  Oracle-checked against the
+    spec-side triples fixture (gen_spec_triples); the arc semantics are
+    additionally gated by tests/spec/test_ruleset_v3.py."""
     t = extract_stage(_docs(spark, sf_dir))
     return (
         t.select(
@@ -1459,6 +1480,20 @@ def q_dep_arc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_arcs"))
         .orderBy("label", "conj")
     )
+
+
+def _dep_arc_stats_sql() -> str:
+    from openie_spark.fixtures.gen_spec_triples import spec_triples_path
+
+    return f"""
+WITH arcs AS (
+  SELECT conj, unnest(string_split(deps, '|')) AS arc
+  FROM read_parquet('{spec_triples_path(ORACLE_SF_DIR)}')
+)
+SELECT string_split(arc, '(')[1] AS label, conj, COUNT(*) AS n_arcs
+FROM arcs WHERE arc <> ''
+GROUP BY label, conj ORDER BY label, conj
+"""
 
 
 PAGERANK_ITERS = 5
@@ -2779,4 +2814,6 @@ ORACLE_SQL = {
     "vocab_encode": SQL_VOCAB_ENCODE,
     "seq_pack": SQL_SEQ_PACK,
     "mis": _mis_sql(),
+    "clause_stats": _clause_stats_sql(),
+    "dep_arc_stats": _dep_arc_stats_sql(),
 }
