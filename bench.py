@@ -54,15 +54,21 @@ def warm_host_memory(gb: int = 12, budget_s: float = 60.0) -> float:
     Returns the achieved touch rate in MB/s (a free health probe)."""
     # bytearray(n) zero-fills the allocation — that memset IS the first
     # touch of every page, so no per-page loop is needed; small chunks
-    # keep the budget check responsive on a severely degraded host
+    # keep the budget check responsive on a severely degraded host.
+    # Chunks are HELD LIVE until the end (r3 ADVICE): freeing each 64 MB
+    # chunk munmaps it and the kernel hands the same just-faulted frames
+    # straight back to the next allocation, so an alloc/free loop mostly
+    # re-touches one hot chunk instead of faulting `gb` of distinct
+    # hypervisor-cold frames.
     chunk = 64 * 1024 * 1024
+    live: list[bytearray] = []
     touched = 0
     t0 = time.perf_counter()
     while touched < gb * 1024**3 and time.perf_counter() - t0 < budget_s:
-        b = bytearray(chunk)
+        live.append(bytearray(chunk))
         touched += chunk
-        del b
     dt = max(1e-9, time.perf_counter() - t0)
+    live.clear()  # one bulk release after every distinct frame is faulted
     return round(touched / 1024**2 / dt, 1)
 
 

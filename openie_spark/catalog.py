@@ -34,11 +34,36 @@ class ParquetCatalog:
     def _path(self, name: str) -> str:
         return str(Path(self.root) / name)
 
+    def _recover_compact(self, name: str) -> None:
+        """Crash recovery for compact()'s two-rename swap: a crash between
+        ``src.rename(old)`` and ``tmp.rename(src)`` leaves the table path
+        absent with the original data stranded under ``<name>__precompact``.
+        Every read-path entry point calls this first — if the table is gone
+        but the precompact generation exists, restore it (the staged
+        ``__compacting`` copy is discarded; it may be complete, but the
+        original is the provably consistent generation).  A leftover
+        ``__precompact`` NEXT TO a live table (crash after the second
+        rename, before cleanup) is stale and removed."""
+        import shutil
+
+        src = Path(self._path(name))
+        old = src.with_name(src.name + "__precompact")
+        tmp = src.with_name(src.name + "__compacting")
+        if src.exists():
+            if old.exists():  # swap completed; cleanup didn't
+                shutil.rmtree(old, ignore_errors=True)
+            return
+        if old.exists():
+            old.rename(src)
+            shutil.rmtree(tmp, ignore_errors=True)
+
     def exists(self, name: str) -> bool:
+        self._recover_compact(name)
         p = Path(self._path(name))
         return p.exists() and any(p.glob("**/*.parquet"))
 
     def load_table(self, name: str, schema: StructType | None = None) -> DataFrame:
+        self._recover_compact(name)
         reader = self.spark.read
         if schema is not None:
             reader = reader.schema(schema)
@@ -122,6 +147,7 @@ class ParquetCatalog:
         import re
         import shutil
 
+        self._recover_compact(name)
         src = Path(self._path(name))
         if not src.exists():
             raise ValueError(f"compact: no such table {name!r} under {self.root}")

@@ -99,7 +99,13 @@ def pps_systematic_sample(
     with weight >= stride are selected with multiplicity; `n_hits`
     reports it (large docs count more than once in the drawn mix — the
     PPS semantics).  Requires positive integer weights; yields
-    ~n_samples rows (± rounding of the last stride)."""
+    ~n_samples rows (± rounding of the last stride).
+
+    Caller contract (mirrors bucketed_prefix_sum's non-negative-key
+    rule): ``key_col`` values must be UNIQUE.  The cumulative order among
+    equal keys is engine-dependent, so with duplicate keys WHICH
+    duplicate receives a stride hit varies run to run (total n_hits
+    stays exact).  Pass a unique id, or pre-combine duplicates."""
     reserved = {"stride", "n_hits", cum_col} & set(df.columns)
     if reserved:
         raise ValueError(
