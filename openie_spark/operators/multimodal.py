@@ -1,10 +1,20 @@
 """Multimodal column plumbing: media as opaque binary + typed metadata.
 
-The image/audio decode libraries are NOT in this container, so the decode
-kernels are deterministic STUBS (clearly marked) — but everything Spark-side
-is real and tested: schemas, Arrow batch shapes, mapInPandas iterator
-signatures, partition-size controls.  Swapping a stub for PIL/ffmpeg changes
-one inner function, not the plan.
+The container ships no image/audio libraries, so decode is split by
+format capability:
+
+  - **REAL decode** for 24-bit BMP and binary PPM (P6) via the pure-stdlib
+    codec in functions/imagecodec.py — header parse, pixel decode,
+    nearest-neighbor resize, and luminance-histogram features all compute
+    from actual pixels, end-to-end through the Spark plan.  The synthetic
+    fetch emits real PPM payloads for image spans, so this path is what
+    runs in the tests and registry queries.
+  - **Deterministic STUBS** (clearly marked) for every other format
+    (JPEG/PNG/audio/video need codec deps).  Swapping a stub for
+    PIL/ffmpeg changes one inner function, not the plan.
+
+Everything Spark-side is real and tested either way: schemas, Arrow batch
+shapes, mapInPandas iterator signatures, partition-size controls.
 
 Pipeline shape for 100 TB of media:
   docs(spans) → explode media spans → (fetch bytes: here synthesized
@@ -76,20 +86,48 @@ def media_spans(docs: DataFrame) -> DataFrame:
     )
 
 
+def _synth_image_ppm(media_ref: str) -> bytes:
+    """Deterministic REAL image payload for an image span: a small PPM
+    whose dims and pixels derive from the ref hash — so the downstream
+    decode/resize/feature path runs on genuine pixels."""
+    from openie_spark.functions.imagecodec import encode_ppm
+
+    h = hashlib.sha256(media_ref.encode()).digest()
+    w, hgt = 8 + h[0] % 56, 8 + h[1] % 56
+    rng = np.random.default_rng(int.from_bytes(h[2:10], "big"))
+    return encode_ppm(w, hgt, rng.integers(0, 256, w * hgt * 3, dtype=np.uint8).tobytes())
+
+
 def fetch_media_bytes(media: DataFrame) -> DataFrame:
-    """STUB fetch: real deployments read from object storage by media_ref;
-    here bytes are synthesized deterministically from the ref (sha256-seeded)
-    so every downstream batch shape is real."""
-    return media.withColumn(
-        "content",
-        F.sha2(F.col("media_ref"), 256).cast("binary"),
-    )
+    """SYNTHETIC fetch: real deployments read from object storage by
+    media_ref — which is a per-row Python/connector task, so a Python
+    fence here matches the plan shape of the real thing.  Image spans get
+    a real decodable PPM payload (deterministic from the ref); audio/video
+    get sha256-seeded opaque bytes (no pure-stdlib codec exists for them)."""
+    out_schema = MEDIA_SCHEMA
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # audio/video payload = utf-8 of the sha256 hexdigest: byte-
+            # identical to the previous JVM-side sha2(ref,256)::binary
+            # synth, so duration/frame outputs are unchanged across rounds
+            content = [
+                _synth_image_ppm(ref)
+                if kind == "image"
+                else hashlib.sha256(ref.encode()).hexdigest().encode()
+                for kind, ref in zip(pdf["kind"], pdf["media_ref"])
+            ]
+            pdf = pdf.assign(content=content)
+            yield pdf[[f.name for f in out_schema.fields]]
+
+    return media.mapInPandas(run, out_schema)
 
 
 def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB — container has no image codec.  Deterministic fake dimensions
-    derived from the content hash.  Replace with PIL:  `img =
-    PIL.Image.open(io.BytesIO(content)); return img.size`."""
+    """STUB for formats without an in-container codec (JPEG/PNG/...).
+    Deterministic fake dimensions derived from the content hash.  Replace
+    with PIL: ``img = PIL.Image.open(io.BytesIO(content)); return
+    img.size``."""
     h = hashlib.sha256(content or b"").digest()
     return 64 + h[0] % 512, 64 + h[1] % 512
 
@@ -109,7 +147,10 @@ def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def decode_media(media_with_bytes: DataFrame) -> DataFrame:
-    """mapInPandas decode/feature-extraction over Arrow batches."""
+    """mapInPandas decode/feature-extraction over Arrow batches.  Images
+    in a supported format (BMP/PPM) get a REAL decode + pixel features;
+    everything else falls back to the stubs."""
+    from openie_spark.functions.imagecodec import decode_image, rgb_features
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -117,8 +158,14 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
                 width = height = duration = None
+                feature = None
                 if r.kind == "image":
-                    width, height = _decode_image_stub(content)
+                    decoded = decode_image(content)
+                    if decoded is not None:
+                        width, height, rgb = decoded
+                        feature = rgb_features(width, height, rgb, FEATURE_DIM)
+                    else:
+                        width, height = _decode_image_stub(content)
                 elif r.kind == "audio":
                     duration = _decode_audio_stub(content)
                 rows.append(
@@ -131,7 +178,7 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
                         "width": width,
                         "height": height,
                         "duration_ms": duration,
-                        "feature": _feature_stub(content),
+                        "feature": feature if feature is not None else _feature_stub(content),
                     }
                 )
             yield pd.DataFrame(
@@ -147,8 +194,9 @@ def media_feature_stage(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# resize / frame-sample (same stub discipline: Spark plumbing real,
-# pixel/codec kernels replaceable one function at a time)
+# resize / frame-sample (BMP/PPM resize is REAL pixels; other formats keep
+# the stub discipline: Spark plumbing real, codec kernels replaceable one
+# function at a time)
 # ---------------------------------------------------------------------------
 
 RESIZED_SCHEMA = StructType(
@@ -166,7 +214,7 @@ RESIZED_SCHEMA = StructType(
 
 
 def _resize_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
-    """STUB — no image codec in the container.  Computes the exact
+    """STUB for non-decodable formats.  Computes the exact
     aspect-preserving target dims a real resize would, and emits a
     deterministic hash-derived byte payload of plausible thumbnail size.
     Replace with PIL: ``img.thumbnail((max_side, max_side)); buf = ...``."""
@@ -179,7 +227,14 @@ def _resize_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
 
 
 def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame:
-    """Aspect-preserving thumbnail pass over image spans (mapInPandas)."""
+    """Aspect-preserving thumbnail pass over image spans (mapInPandas).
+    Supported formats (BMP/PPM) run a REAL nearest-neighbor downscale and
+    emit the thumbnail re-encoded as PPM; unknown formats use the stub."""
+    from openie_spark.functions.imagecodec import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -188,8 +243,14 @@ def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame
                 if r.kind != "image":
                     continue
                 content = bytes(r.content) if r.content is not None else b""
-                w, h = _decode_image_stub(content)
-                tw, th, thumb = _resize_stub(content, max_side)
+                decoded = decode_image(content)
+                if decoded is not None:
+                    w, h, rgb = decoded
+                    tw, th, trgb = resize_nearest(w, h, rgb, max_side)
+                    thumb = encode_ppm(tw, th, trgb)
+                else:
+                    w, h = _decode_image_stub(content)
+                    tw, th, thumb = _resize_stub(content, max_side)
                 rows.append(
                     {
                         "doc_id": r.doc_id,

@@ -1,0 +1,123 @@
+"""Pure-stdlib image codec (functions/imagecodec.py): encode/decode
+round-trips for BMP and PPM, nearest-neighbor resize geometry, pixel
+features, and the end-to-end REAL decode through the multimodal Spark
+path (the synthetic fetch emits genuine PPM payloads for image spans)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from openie_spark.functions.imagecodec import (
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+    resize_nearest,
+    rgb_features,
+)
+
+
+def _px(w, h, seed=7) -> bytes:
+    return np.random.default_rng(seed).integers(0, 256, w * h * 3, np.uint8).tobytes()
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (17, 5), (64, 64)])
+def test_ppm_roundtrip(w, h):
+    rgb = _px(w, h)
+    assert decode_ppm(encode_ppm(w, h, rgb)) == (w, h, rgb)
+
+
+@pytest.mark.parametrize("w,h", [(1, 1), (3, 2), (17, 5), (64, 64)])
+def test_bmp_roundtrip(w, h):
+    """Exercises the 4-byte row padding (w=17 -> stride 52 != 51) and the
+    bottom-up row order + BGR channel swap."""
+    rgb = _px(w, h)
+    assert decode_bmp(encode_bmp(w, h, rgb)) == (w, h, rgb)
+
+
+def test_ppm_header_comments_and_whitespace():
+    rgb = _px(2, 2)
+    data = b"P6 # a comment\n# another\n 2\t2\n255\n" + rgb
+    assert decode_ppm(data) == (2, 2, rgb)
+
+
+def test_bmp_known_pixels():
+    """Hand-checkable 2x1: red then blue, stored bottom-up BGR padded."""
+    rgb = bytes([255, 0, 0, 0, 0, 255])
+    data = encode_bmp(2, 1, rgb)
+    # pixel data starts at 54: BGR for red = 00 00 FF, blue = FF 00 00
+    assert data[54:60] == bytes([0, 0, 255, 255, 0, 0])
+    assert decode_bmp(data) == (2, 1, rgb)
+
+
+def test_decode_image_sniffs_and_rejects():
+    rgb = _px(4, 3)
+    assert decode_image(encode_ppm(4, 3, rgb)) == (4, 3, rgb)
+    assert decode_image(encode_bmp(4, 3, rgb)) == (4, 3, rgb)
+    assert decode_image(b"\x89PNG\r\n\x1a\nnot-supported") is None
+    assert decode_image(b"") is None
+    # truncated raster must not crash, just refuse
+    assert decode_ppm(encode_ppm(4, 3, rgb)[:-5]) is None
+    assert decode_bmp(encode_bmp(4, 3, rgb)[:-5]) is None
+
+
+def test_resize_nearest_geometry_and_identity():
+    rgb = _px(40, 20)
+    tw, th, out = resize_nearest(40, 20, rgb, max_side=10)
+    assert (tw, th) == (10, 5) and len(out) == 10 * 5 * 3
+    # never upscales
+    assert resize_nearest(4, 2, _px(4, 2), max_side=100)[:2] == (4, 2)
+    # solid color survives resampling exactly
+    solid = bytes([9, 99, 199]) * (8 * 8)
+    _, _, sout = resize_nearest(8, 8, solid, max_side=3)
+    assert sout == bytes([9, 99, 199]) * 9
+
+
+def test_rgb_features_shape_and_values():
+    solid = bytes([255, 0, 0]) * 12  # pure red 4x3
+    f = rgb_features(4, 3, solid, dim=16)
+    assert len(f) == 16
+    assert f[0] == 1.0 and f[1] == 0.0 and f[2] == 0.0
+    assert abs(f[3] - 4 / 7) < 1e-6  # features are rounded to 6 decimals
+    assert abs(sum(f[4:]) - 1.0) < 1e-6  # histogram normalized
+
+
+def test_media_feature_stage_uses_real_decode(spark, golden_docs_path):
+    """End-to-end: image spans get REAL PPM payloads from the synthetic
+    fetch, so decoded dims must sit in the synth range (8..63) — the stub
+    range starts at 64, so any stub fallback here would fail."""
+    from openie_spark.operators.multimodal import media_feature_stage
+    from openie_spark.sources.tables import load_docs
+
+    rows = (
+        media_feature_stage(load_docs(spark, golden_docs_path))
+        .where("kind = 'image'")
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert 8 <= r["width"] < 64 and 8 <= r["height"] < 64
+        assert r["n_bytes"] > r["width"] * r["height"] * 3  # header + raster
+
+
+def test_resize_images_real_thumbnails_decode_back(spark, golden_docs_path):
+    """Thumbnails of decodable images are themselves decodable PPMs with
+    the declared dims."""
+    from openie_spark.operators.multimodal import (
+        fetch_media_bytes,
+        media_spans,
+        resize_images,
+    )
+    from openie_spark.sources.tables import load_docs
+
+    media = fetch_media_bytes(media_spans(load_docs(spark, golden_docs_path)))
+    rows = resize_images(media, max_side=16).collect()
+    assert rows
+    for r in rows:
+        got = decode_image(bytes(r["thumb"]))
+        assert got is not None
+        w, h, rgb = got
+        assert (w, h) == (r["thumb_w"], r["thumb_h"])
+        assert max(w, h) <= 16 and len(rgb) == w * h * 3
