@@ -1,4 +1,10 @@
-.PHONY: dist test bench scaling clean
+.PHONY: dist test bench scaling round clean
+
+# Round close-out: host probe (refuses on degraded host), full driver-
+# replica correctness sweep at sf0.01, then bench.py — artifacts written
+# as CORRECTNESS_local.json / BENCH_local.json with probe stamps.
+round:
+	python jobs/round_artifacts.py
 
 dist:
 	mkdir -p dist

@@ -134,7 +134,23 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
+    # Warm + probe, with one retry: BENCH_r03 was recorded in a degraded
+    # window and read as a 2.2x regression that wasn't (VERDICT r3 item 3).
+    # The driver runs this script unconditionally, so we cannot refuse to
+    # record — instead the artifact carries the probe verdict itself and a
+    # second warm-up attempt is made if the first window looks degraded.
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "jobs"))
+    from host_probe import probe  # jobs/host_probe.py
+
     extras["warm_touch_mb_s"] = warm_host_memory()
+    p = probe()
+    if not p["ok"]:
+        extras["warm_touch_mb_s_retry"] = warm_host_memory()
+        p = probe()
+    extras["probe_ok"] = p["ok"]
+    extras["probe_cold_touch_mb_s"] = p["cold_touch_mb_s"]
+    extras["probe_warm_copy_gb_s"] = p["warm_copy_gb_s"]
+    extras["probe_steal_pct"] = p["steal_pct"]
 
     # -- warm the JVM + Python worker pool once (not timed) -----------------
     force(docs.limit(64).select("doc_id", F.explode(
@@ -229,11 +245,14 @@ def main() -> int:
         "relation_cardinality",
         lambda: force(registry.q_relation_cardinality(spark, sf_dir)),
     )
-    # rule_support is deliberately NOT a headline line: the r1∘r2
-    # composition over this synthetic star schema produces ~20M path rows
-    # at sf0.1 (cross-typed integer ids collide across predicates), so it
-    # measures fixture pathology, not corpus scaling.  It stays fully
-    # oracle-checked at sf0.01 via the driver contract.
+    # Back in the headline as of r4: the degree-capped, dict-encoded,
+    # single-(h,t)-shuffle plan (operators/rules.py) took this from 145 s
+    # (r3, degraded window) / 68 s (clean, naive plan) to ~10 s on the
+    # same 25M-path composition.
+    timed(
+        "rule_support",
+        lambda: force(registry.q_rule_support(spark, sf_dir)),
+    )
 
     total = round(sum(timings.values()), 3)
     print(

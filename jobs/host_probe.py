@@ -62,18 +62,24 @@ def steal_pct(window_s: float = 5.0) -> float:
     return round(100 * (s2 - s1) / max(1, t2 - t1), 2)
 
 
-def main() -> None:
+def probe(steal_window_s: float = 5.0) -> dict:
+    """All three signals plus the gate verdict, as a dict (importable —
+    bench.py stamps its artifact with this)."""
     out = {
         "cold_touch_mb_s": cold_touch_mb_s(),
         "warm_copy_gb_s": warm_copy_gb_s(),
-        "steal_pct": steal_pct(),
+        "steal_pct": steal_pct(steal_window_s),
     }
     out["ok"] = (
         out["cold_touch_mb_s"] >= 500
         and out["warm_copy_gb_s"] >= 10
         and out["steal_pct"] <= 15
     )
-    print(json.dumps(out))
+    return out
+
+
+def main() -> None:
+    print(json.dumps(probe()))
 
 
 if __name__ == "__main__":

@@ -18,25 +18,39 @@ operator's declared semantics and the DuckDB twin applies the same
 constant, so results stay bit-exact.  Coverage is observable via
 ``hot_mid_entities`` for callers that want to log exclusions.
 
-Remaining shape: one equi-join on the shared entity collapsed to
-DISTINCT (r1,r2,h,t) immediately (multiplicity never reaches the
-aggregate), one equi-join of body pairs against the edge set on (h,t),
-two map-side-combinable aggs.  Output is predicate-pair-bounded.
+Remaining shape, engineered for the 20M+ path rows even a capped
+composition legitimately produces (measured sf0.1: 68 s naive → ~10 s):
+
+  - the edge set is **materialized once** (localCheckpoint) — it feeds
+    five consumers (two degree aggs, e1, e2, heads) and Spark has no
+    common-subexpression reuse across differently-partitioned self-join
+    branches, so the union+DISTINCT subtree would otherwise recompute
+    per consumer;
+  - predicates are **dictionary-encoded to int ids** (broadcast join
+    against the predicate-vocabulary dict, decoded back at the end), so
+    the 25M-row shuffles carry 2 ints + 2 longs instead of two strings;
+  - the path set is **repartitioned by (h, t) once**: HashPartitioning
+    on (h,t) satisfies the ClusteredDistribution of the full-key
+    dropDuplicates AND the (h,t) support join, so ONE exchange serves
+    both (the naive plan shuffles the 25M rows twice);
+  - the two aggregates are map-side combinable and
+    predicate-pair-bounded.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 MIN_SUPPORT = 25
 MAX_MID_DEGREE = 512
 
 
 def hot_mid_entities(edges: DataFrame, max_mid_degree: int = MAX_MID_DEGREE) -> DataFrame:
-    """edges(pred, head, tail) → single-column ``x`` frame of entities with
-    in-degree or out-degree above the cap.  Size-bounded by m/K — always
-    broadcastable."""
+    """edges(..., head, tail) → single-column ``x`` frame of entities with
+    in-degree or out-degree above the cap (only head/tail are referenced).
+    Size-bounded by m/K — always broadcastable."""
     d_in = edges.groupBy(F.col("tail").alias("x")).agg(F.count("*").alias("d"))
     d_out = edges.groupBy(F.col("head").alias("x")).agg(F.count("*").alias("d"))
     return (
@@ -53,32 +67,62 @@ def rule_support(
     max_mid_degree: int = MAX_MID_DEGREE,
 ) -> DataFrame:
     """edges(pred, head, tail) → (r1, r2, r3, support, body_count,
-    conf_micro), compositions through hot mid entities excluded."""
-    hot = hot_mid_entities(edges, max_mid_degree)
-    e1 = edges.select(
-        F.col("pred").alias("r1"), F.col("head").alias("h"), F.col("tail").alias("x")
-    ).join(F.broadcast(hot), "x", "left_anti")
-    e2 = edges.select(
-        F.col("pred").alias("r2"), F.col("head").alias("x"), F.col("tail").alias("t")
+    conf_micro), compositions through hot mid entities excluded.
+
+    NOTE: eagerly materializes the (pred-encoded) edge set via
+    localCheckpoint at call time — see module docstring for why."""
+    # deterministic predicate dictionary (vocabulary-bounded, broadcast)
+    preds = (
+        edges.select("pred")
+        .distinct()
+        .withColumn("pid", F.row_number().over(Window.orderBy("pred")).cast("int"))
     )
-    body = e1.join(e2, "x").select("r1", "r2", "h", "t").distinct()
-    body_counts = body.groupBy("r1", "r2").agg(F.count("*").alias("body_count"))
-    heads = edges.select(
-        F.col("pred").alias("r3"), F.col("head").alias("h"), F.col("tail").alias("t")
+    enc = (
+        edges.join(F.broadcast(preds), "pred")
+        .select("pid", "head", "tail")
+        .localCheckpoint()
+    )
+    hot = hot_mid_entities(enc, max_mid_degree)
+    e1 = enc.select(
+        F.col("pid").alias("p1"), F.col("head").alias("h"), F.col("tail").alias("x")
+    ).join(F.broadcast(hot), "x", "left_anti")
+    e2 = enc.select(
+        F.col("pid").alias("p2"), F.col("head").alias("x"), F.col("tail").alias("t")
+    )
+    body = (
+        e1.join(e2, "x")
+        .select("p1", "p2", "h", "t")
+        .repartition("h", "t")  # ONE exchange serves dedup AND the (h,t) join
+        .dropDuplicates(["p1", "p2", "h", "t"])
+    )
+    body_counts = body.groupBy("p1", "p2").agg(F.count("*").alias("body_count"))
+    heads = enc.select(
+        F.col("pid").alias("p3"), F.col("head").alias("h"), F.col("tail").alias("t")
     )
     support = (
         body.join(heads, ["h", "t"])
-        .groupBy("r1", "r2", "r3")
+        .groupBy("p1", "p2", "p3")
         .agg(F.count("*").alias("support"))
         .where(F.col("support") >= min_support)
     )
-    return support.join(body_counts, ["r1", "r2"]).select(
-        "r1",
-        "r2",
-        "r3",
-        "support",
-        "body_count",
-        F.expr("CAST(support * 1000000 AS BIGINT) div body_count").alias("conf_micro"),
+    def name(pid_col: str, out: str) -> DataFrame:
+        return preds.select(F.col("pid").alias(pid_col), F.col("pred").alias(out))
+
+    return (
+        support.join(body_counts, ["p1", "p2"])
+        .join(F.broadcast(name("p1", "r1")), "p1")
+        .join(F.broadcast(name("p2", "r2")), "p2")
+        .join(F.broadcast(name("p3", "r3")), "p3")
+        .select(
+            "r1",
+            "r2",
+            "r3",
+            "support",
+            "body_count",
+            F.expr("CAST(support * 1000000 AS BIGINT) div body_count").alias(
+                "conf_micro"
+            ),
+        )
     )
 
 

@@ -213,6 +213,40 @@ def frequent_ngrams(
     )
 
 
+def dup_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document duplicate n-gram mining — the exact-substring
+    duplication signal behind suffix-array train-set dedup (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better", ACL 2022
+    — public knowledge): every word n-gram appearing in >= min_docs
+    DISTINCT documents, with its document frequency and the characters
+    that would be saved by collapsing the duplicates
+    (``dup_chars = (n_docs - 1) * length(gram)`` — integer-exact).
+
+    Scale shape: per-doc distinct grams (word_ngrams_col — the shared
+    tokenization rule) explode map-side; the ONLY shuffle is the
+    groupBy(gram) count with partial aggregation, and the HAVING filter
+    bounds the output by the *duplicated*-gram vocabulary — far smaller
+    than the corpus.  No positions are materialized globally (a full
+    span table would be corpus-sized; the stats are the curation
+    signal)."""
+    return (
+        df.select(F.explode(word_ngrams_col(text_col, n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select(
+            "gram",
+            "n_docs",
+            ((F.col("n_docs") - 1) * F.length("gram")).cast("bigint").alias("dup_chars"),
+        )
+    )
+
+
 def ngram_decontaminate(
     corpus: DataFrame,
     benchmark: DataFrame,

@@ -2637,6 +2637,122 @@ LIMIT {FREQ_NGRAM_TOP}
 """
 
 
+DUP_NGRAM_N = 4
+DUP_NGRAM_MIN_DOCS = 2
+
+
+def q_dup_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate n-gram mining (text_analysis.
+    dup_ngram_stats — the exact-substring duplication signal of Lee et
+    al. 2022) over the documents table; fully oracle-checked, all
+    integer outputs."""
+    from openie_spark.operators.text_analysis import dup_ngram_stats
+
+    d = load(spark, sf_dir, "documents")
+    return dup_ngram_stats(
+        d, n=DUP_NGRAM_N, min_docs=DUP_NGRAM_MIN_DOCS
+    ).orderBy("gram")
+
+
+def _dup_ngram_stats_sql() -> str:
+    n = DUP_NGRAM_N
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {n}
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(w) - {n - 1}),
+                     i -> array_to_string(w[i:i+{n - 1}], ' ')))
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT gram, COUNT(*) AS n_docs,
+       CAST((COUNT(*) - 1) * length(gram) AS BIGINT) AS dup_chars
+FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+GROUP BY gram
+HAVING COUNT(*) >= {DUP_NGRAM_MIN_DOCS}
+ORDER BY gram
+"""
+
+
+DOMAIN_MIX_SEATS = 1000  # per-mille mixing weights
+
+
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix manifest: per-source token counts and an integer
+    per-mille sampling weight apportioned by the largest-remainder
+    (Hamilton) method — the standard exact apportionment, so the weights
+    sum to exactly 1000 and every value is engine-portable integer math
+    (quota = tokens*1000 div total; the r = 1000 - Σquota leftover seats
+    go to the r largest remainders, ties on source asc).
+
+    Scale shape: ONE groupBy(source) with map-side combine over the
+    corpus; everything after the agg operates on the source-vocabulary-
+    bounded frame (the unpartitioned windows run on #sources rows, not
+    corpus rows)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.size(F.filter(F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != ""))
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks.cast("bigint")).alias("n_tokens"),
+    )
+    everything = Window.partitionBy()
+    seats = DOMAIN_MIX_SEATS
+    per = per.withColumn("_total", F.sum("n_tokens").over(everything)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.expr(f"n_tokens * {seats} div _total").alias("_quota"),
+        F.expr(f"(n_tokens * {seats}) % _total").alias("_rem"),
+    )
+    per = per.withColumn(
+        "_r", F.lit(seats) - F.sum("_quota").over(everything)
+    ).withColumn(
+        "_rk",
+        F.row_number().over(Window.orderBy(F.desc("_rem"), F.asc("source"))),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("_quota") + (F.col("_rk") <= F.col("_r")).cast("bigint")).alias(
+            "weight_pm"
+        ),
+    ).orderBy("source")
+
+
+def _domain_mix_sql() -> str:
+    seats = DOMAIN_MIX_SEATS
+    return rf"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                  x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+q AS (
+  SELECT source, n_docs, n_tokens,
+         n_tokens * {seats} // SUM(n_tokens) OVER () AS quota,
+         (n_tokens * {seats}) % SUM(n_tokens) OVER () AS rem
+  FROM per
+),
+r AS (
+  SELECT *, {seats} - SUM(quota) OVER () AS leftover,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, source ASC) AS rk
+  FROM q
+)
+SELECT source, n_docs, n_tokens,
+       CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+         AS weight_pm
+FROM r ORDER BY source
+"""
+
+
 NEG_SAMPLES_N = 2
 
 
@@ -2757,6 +2873,8 @@ QUERIES = {
     "vocab_encode": q_vocab_encode,
     "seq_pack": q_seq_pack,
     "mis": q_mis,
+    "dup_ngram_stats": q_dup_ngram_stats,
+    "domain_mix": q_domain_mix,
 }
 
 ORACLE_SQL = {
@@ -2816,4 +2934,6 @@ ORACLE_SQL = {
     "mis": _mis_sql(),
     "clause_stats": _clause_stats_sql(),
     "dep_arc_stats": _dep_arc_stats_sql(),
+    "dup_ngram_stats": _dup_ngram_stats_sql(),
+    "domain_mix": _domain_mix_sql(),
 }

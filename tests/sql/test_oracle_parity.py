@@ -4,7 +4,6 @@ names, and order-insensitive values at sf0.01 (TESTDATA.md)."""
 
 from __future__ import annotations
 
-import math
 from pathlib import Path
 
 import duckdb
@@ -13,6 +12,8 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entrymod
+from openie_spark.plans.compare import canon as _canon
+from openie_spark.plans.compare import driver_sort as _driver_sort
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
@@ -29,17 +30,6 @@ def _duck(sql: str) -> pd.DataFrame:
     return con.sql(sql).df()
 
 
-def _driver_sort(df: pd.DataFrame) -> pd.DataFrame:
-    """Mirror of the driver's canonicalizer entry step: pandas
-    ``sort_values`` over EVERY column.  This raises ``TypeError: unhashable
-    type`` on list/dict cells exactly like the driver harness does — so any
-    query emitting complex-typed columns fails locally first (the
-    media_features class of round-1 failure)."""
-    if len(df.columns):
-        df = df.sort_values(list(df.columns), kind="mergesort")
-    return df
-
-
 _CANON_UNSAFE_TYPES = ("array", "map", "struct")
 
 
@@ -54,37 +44,9 @@ def _assert_canon_safe_schema(df) -> None:
     assert not bad, f"driver-canon-unsafe complex-typed columns: {bad}"
 
 
-def _tagged(v):
-    """Dtype-strict cell canonicalization.  The driver hashes *serialized*
-    values, so ``123456`` (Spark BIGINT) vs ``123456.0`` (DuckDB
-    HUGEINT→float64) MUST mismatch here too — Python's lax ``123456 ==
-    123456.0`` let exactly that defect class (r3 ``train_val_split``) pass
-    locally and fail the driver.  Each value is tagged with its broad kind
-    (bool/int/float/time/bytes/str) so cross-kind equality is impossible,
-    while width differences within a kind (int32 vs int64) still compare
-    equal, matching the driver's serialized form."""
-    if v is None:
-        return ("none",)
-    if isinstance(v, (bool, np.bool_)):
-        return ("b", bool(v))
-    if isinstance(v, (int, np.integer)):
-        return ("i", int(v))
-    if isinstance(v, (float, np.floating)):
-        fv = float(v)
-        return ("f", "nan") if math.isnan(fv) else ("f", round(fv, 6))
-    if hasattr(v, "isoformat"):
-        return ("t", v.isoformat())
-    if isinstance(v, bytes):
-        return ("y", v)
-    return ("s", str(v))
-
-
-def _canon(df: pd.DataFrame) -> list[tuple]:
-    df = _driver_sort(df)
-    df = df[sorted(df.columns)]
-    rows = [tuple(_tagged(v) for v in row) for row in df.itertuples(index=False)]
-    return sorted(rows, key=repr)
-
+# canon/_driver_sort live in openie_spark/plans/compare.py (single home,
+# shared with jobs/round_artifacts.py so the local gate and the recorded
+# artifact can never diverge in strictness)
 
 ORACLE_KEYS = sorted(entrymod.oracle_sql().keys())
 
