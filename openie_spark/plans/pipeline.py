@@ -49,6 +49,13 @@ class PipelineConfig:
     broadcast_canon: bool = True
     collect_counts: bool = True  # False: skip informational count() actions
     check_invariant: bool = True  # in-run span-sequence gate (OP-25)
+    # Per-mille deterministic doc sample for the in-run invariant gate
+    # (1000 = exhaustive).  The gate Arrow-roundtrips + reshuffles its
+    # input — at 100 TB an exhaustive in-run check doubles corpus I/O for
+    # a canary, so the default probes a hash-stable 5% slice (the same
+    # docs every run); the EXHAUSTIVE per-row gate lives in pytest L3a
+    # and the corruption-detection tests target the checker directly.
+    invariant_sample_pm: int = 50
     stages: tuple = ("extract", "link", "canonicalize", "materialize")
     metrics: dict = field(default_factory=dict)
 
@@ -65,9 +72,19 @@ def run_pipeline(
     nparts = cfg.repartition or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # ---- extract stage (checkpointed, resumable) --------------------------
+    # One driver-side checkpoint snapshot serves every stage gate below
+    # (valid because gates only consult rows from BEFORE this run's
+    # writes: extract's resume set is read pre-write, and each stage_done
+    # is evaluated before that stage records anything).
+    ck_state = ckpt.collect_run_state(cat, cfg.run_id)
     fingerprint = ckpt.input_fingerprint(docs)
     with_pid = ckpt.with_partition_id(docs, cfg.n_buckets)
-    todo = ckpt.resume_filter(with_pid, cat, cfg.run_id, "extract", fingerprint)
+    done = ckpt.done_pids(ck_state, "extract", fingerprint)
+    todo = (
+        with_pid.where(~F.col("partition_id").isin(sorted(done)))
+        if done
+        else with_pid
+    )
 
     with ckpt.StageTimer() as t_extract:
         pending = todo.count()
@@ -121,7 +138,12 @@ def run_pipeline(
     # different computations.  Two extra full scans; operators running
     # fixed-cost-sensitive jobs may disable it.
     if cfg.check_invariant:
-        inv = check_span_invariant(docs, arrow_roundtrip(docs))
+        probe = docs
+        if cfg.invariant_sample_pm < 1000:
+            probe = docs.where(
+                F.pmod(F.xxhash64("doc_id"), F.lit(1000)) < cfg.invariant_sample_pm
+            )
+        inv = check_span_invariant(probe, arrow_roundtrip(probe))
         out["span_invariant"] = inv
         if not inv["ok"]:
             raise AssertionError(f"span invariant violated: {inv}")
@@ -139,9 +161,9 @@ def run_pipeline(
     link_fp = f"{fingerprint}+{alias_fp}"
 
     # ---- link stage (stage-level checkpointed, resumable) -----------------
-    link_done = ckpt.stage_done(cat, cfg.run_id, "link", link_fp) and cat.exists(
-        "links"
-    )
+    link_done = ckpt.STAGE_SENTINEL_PID in ckpt.done_pids(
+        ck_state, "link", link_fp
+    ) and cat.exists("links")
     with ckpt.StageTimer() as t_link:
         mentions = mentions_from_triples(triples)
         if link_done:
@@ -167,8 +189,8 @@ def run_pipeline(
         return out
 
     # ---- canonicalize (stage-level checkpointed, resumable) ---------------
-    canon_done = ckpt.stage_done(
-        cat, cfg.run_id, "canonicalize", link_fp
+    canon_done = ckpt.STAGE_SENTINEL_PID in ckpt.done_pids(
+        ck_state, "canonicalize", link_fp
     ) and cat.exists("cc_assign")
     with ckpt.StageTimer() as t_canon:
         if canon_done:
@@ -207,7 +229,7 @@ def run_pipeline(
 
     # ---- materialize vertices + edges (stage-level checkpointed) ----------
     mat_done = (
-        ckpt.stage_done(cat, cfg.run_id, "materialize", link_fp)
+        ckpt.STAGE_SENTINEL_PID in ckpt.done_pids(ck_state, "materialize", link_fp)
         and cat.exists("vertices")
         and cat.exists("edges")
     )
