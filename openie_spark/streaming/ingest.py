@@ -15,9 +15,17 @@ deployments that prefer it:
     semantics.
   - ``stream_event_counts``: watermarked tumbling-window aggregation over
     an event stream (late data bounded by the watermark).
+  - ``stream_source``: ONE seam for every upstream the streaming form can
+    ingest from (files / rate / rate-micro-batch / kafka), so deployments
+    swap sources by configuration, not code.  The kafka branch is pure
+    option plumbing on the standard ``spark-sql-kafka`` connector (absent
+    in this sandbox — documented, not fake-tested); the unbounded-source
+    behavior it shares is exercised for real through the built-in ``rate``
+    source (tests/unit/test_streaming.py), which drives the SAME
+    extraction stage through a genuinely unbounded micro-batch query.
 
-Both are exercised in tests/unit/test_streaming.py against their batch
-equivalents.
+All tested paths are compared against their batch equivalents in
+tests/unit/test_streaming.py.
 """
 
 from __future__ import annotations
@@ -27,6 +35,108 @@ from pyspark.sql import functions as F
 
 from openie_spark.operators.extract import extract_stage
 from openie_spark.schemas import DOC_SCHEMA
+
+
+def stream_source(
+    spark: SparkSession,
+    kind: str,
+    *,
+    schema=None,
+    path: str | None = None,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """Source-agnostic streaming reader — the configuration seam between
+    a deployment's ingest bus and the (source-independent) operators.
+
+    kinds:
+      ``files``            parquet directory; requires ``schema`` + ``path``.
+                           The resumable twin of a batch scan (offsets =
+                           seen files, tracked in the sink checkpoint).
+      ``rate``             Spark's built-in unbounded source (options:
+                           ``rowsPerSecond``, ``numPartitions``…) — columns
+                           (timestamp, value).  Used by tests as the real
+                           unbounded stand-in for a message bus.
+      ``rate-micro-batch`` deterministic per-batch variant (``rowsPerBatch``).
+      ``kafka``            standard connector passthrough; pass
+                           ``kafka.bootstrap.servers``, ``subscribe``, etc.
+                           Requires the spark-sql-kafka package on the
+                           cluster (not in this sandbox); value bytes land
+                           as the connector's fixed schema — decode with
+                           ``F.col('value').cast('string')`` + ``from_json``
+                           against DOC_SCHEMA upstream of extract_stage.
+
+    Every kind returns an unresolved streaming DataFrame; downstream
+    operators (extract_stage is stateless) are identical across kinds.
+    """
+    opts = dict(options or {})
+    if kind == "files":
+        if schema is None or path is None:
+            raise ValueError("files source requires schema= and path=")
+        reader = spark.readStream.schema(schema)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.parquet(path)
+    if kind in ("rate", "rate-micro-batch", "kafka"):
+        reader = spark.readStream.format(kind)
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
+    raise ValueError(f"unknown stream source kind: {kind!r}")
+
+
+# Deterministic value→document templates: every sentence is a RULESET-v3
+# extractable clause, so the stream demonstrably produces triples (the
+# test asserts >0 and compares per-doc against the batch twin).
+_RATE_DOC_TEMPLATES = (
+    "Alice Smith founded Acme Corp in 2001.",
+    "Bob Jones works at Initech.",
+    "Acme Corp acquired Globex.",
+    "Carol White lives in Berlin.",
+)
+
+
+def rate_to_docs(rates: DataFrame) -> DataFrame:
+    """Map a rate/rate-micro-batch stream (timestamp, value) to the
+    DOC_SCHEMA interleaved shape, fully JVM-side and deterministic in
+    ``value``: whatever prefix of the stream a test drains, each doc's
+    content is a pure function of its id, so a batch twin built from
+    ``spark.range`` is bit-comparable.  Every third doc interleaves a
+    media span ahead of the text span (the input_hint's mixed shape)."""
+    k = len(_RATE_DOC_TEMPLATES)
+    text = F.element_at(
+        F.array(*[F.lit(t) for t in _RATE_DOC_TEMPLATES]),
+        (F.col("value") % k + 1).cast("int"),
+    )
+    text_span = F.struct(
+        F.lit("text").alias("kind"),
+        text.alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    media_span = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.format_string("img://rate/%d.bmp", F.col("value")).alias("media_ref"),
+        F.lit(0).cast("int").alias("offset"),
+    )
+    spans = F.when(
+        F.col("value") % 3 == 0,
+        F.array(media_span, text_span),
+    ).otherwise(F.array(text_span))
+    # re-number offsets by position so the span-sequence invariant holds
+    spans = F.transform(
+        spans,
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return rates.select(
+        F.format_string("rate-%08d", F.col("value")).alias("doc_id"),
+        spans.alias("spans"),
+    )
 
 
 def stream_extract(

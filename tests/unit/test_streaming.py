@@ -357,3 +357,82 @@ def test_stream_attribution_state_carries_across_runs(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 2, 10 * 60 * 1_000_000)}
+
+
+# ---------------------------------------------------------------------------
+# Source-agnostic seam (streaming/ingest.py:stream_source) — the unbounded
+# branch is exercised for REAL via the built-in rate source: the same
+# stateless extract_stage runs inside a live micro-batch query, and every
+# drained doc's triples must equal the batch twin built from spark.range.
+# ---------------------------------------------------------------------------
+
+
+def test_rate_source_drives_extraction_like_batch(spark, tmp_path):
+    from openie_spark.streaming.ingest import rate_to_docs, stream_source
+
+    rates = stream_source(
+        spark, "rate", options={"rowsPerSecond": "500", "numPartitions": "2"}
+    )
+    assert rates.isStreaming
+    triples = extract_stage(rate_to_docs(rates))
+    q = (
+        triples.writeStream.format("memory")
+        .queryName("rate_triples")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .start()
+    )
+    try:
+        # let the unbounded source accrue, then drain what exists
+        import time as _t
+
+        deadline = _t.time() + 60
+        while _t.time() < deadline:
+            q.processAllAvailable()
+            if spark.sql("SELECT 1 FROM rate_triples LIMIT 1").count():
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+
+    got = spark.table("rate_triples")
+    n = got.count()
+    assert n > 0, "unbounded rate source produced no triples"
+
+    # batch twin over exactly the drained id range: content is a pure
+    # function of `value`, so per-doc triples must match bit-for-bit
+    max_id = int(
+        got.agg(F.max(F.split(F.col("doc_id"), "-")[1]).cast("long")).collect()[0][0]
+    )
+    twin_docs = rate_to_docs(
+        spark.range(0, max_id + 1).select(F.col("id").alias("value"))
+    )
+    want = extract_stage(twin_docs)
+    seen_ids = [r[0] for r in got.select("doc_id").distinct().collect()]
+    want = want.where(F.col("doc_id").isin(seen_ids))
+    got_sub = got.where(F.col("doc_id").isin(seen_ids))
+    a = sorted(map(repr, got_sub.collect()))
+    b = sorted(map(repr, want.collect()))
+    assert a == b
+    # every template extracts: the drained prefix covers all 4 templates
+    # once max_id >= 3, so distinct relations must be > 1
+    if max_id >= 3:
+        assert got.select("rel").distinct().count() > 1
+
+
+def test_stream_source_validates_kinds(spark):
+    from openie_spark.streaming.ingest import stream_source
+
+    with pytest.raises(ValueError, match="unknown stream source"):
+        stream_source(spark, "carrier-pigeon")
+    with pytest.raises(ValueError, match="requires schema"):
+        stream_source(spark, "files")
+    # kafka is pure option plumbing on the standard connector; absent the
+    # package the reader still CONSTRUCTS (load resolves lazily on start)
+    # -- the seam itself is source-agnostic.
+    df = stream_source(
+        spark,
+        "rate-micro-batch",
+        options={"rowsPerBatch": "8", "numPartitions": "2"},
+    )
+    assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
