@@ -32,6 +32,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from openie_spark.plans.registry import ORACLE_SQL
+    from openie_spark.plans.registry import build_oracle_sql
 
-    return dict(ORACLE_SQL)
+    return build_oracle_sql()

@@ -14,7 +14,21 @@ from pathlib import Path
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-FIXTURE_DIR = Path(os.environ.get("OPENIE_FIXTURE_DIR", Path(__file__).resolve().parents[2] / ".fixtures"))
+def _default_fixture_dir() -> Path:
+    env = os.environ.get("OPENIE_FIXTURE_DIR")
+    if env:
+        return Path(env)
+    repo_root = Path(__file__).resolve().parents[2]
+    # Under ``--py-files`` zipimport __file__ points INSIDE the archive and
+    # its parents are not real directories; fixtures are driver-side
+    # scratch, so fall back to the working directory (override with
+    # OPENIE_FIXTURE_DIR for a shared location).
+    if repo_root.is_dir():
+        return repo_root / ".fixtures"
+    return Path.cwd() / ".fixtures"
+
+
+FIXTURE_DIR = _default_fixture_dir()
 
 SPAN_PA = pa.struct(
     [

@@ -2932,8 +2932,20 @@ ORACLE_SQL = {
     "vocab_encode": SQL_VOCAB_ENCODE,
     "seq_pack": SQL_SEQ_PACK,
     "mis": _mis_sql(),
-    "clause_stats": _clause_stats_sql(),
-    "dep_arc_stats": _dep_arc_stats_sql(),
     "dup_ngram_stats": _dup_ngram_stats_sql(),
     "domain_mix": _domain_mix_sql(),
 }
+
+
+def build_oracle_sql() -> dict[str, str]:
+    """The full oracle map.  The two spec-fixture-backed oracles
+    (clause_stats / dep_arc_stats) interpolate the path of a parquet
+    fixture that is MATERIALIZED on first use — that work belongs at
+    call time, not module import: an executor unpickling a closure (or
+    a ``--py-files`` zipimport, where the package dir isn't a real
+    filesystem path) must be able to import this module without running
+    the whole pure-Python spec over the sf0.01 corpus."""
+    out = dict(ORACLE_SQL)
+    out["clause_stats"] = _clause_stats_sql()
+    out["dep_arc_stats"] = _dep_arc_stats_sql()
+    return out

@@ -306,3 +306,38 @@ def test_chaos_mid_link_partial_write_converges(
     assert res["link_skipped"] is False  # partial table not trusted
     assert sorted(map(tuple, cat_chaos.load_table("vertices").collect())) == v_full
     assert sorted(map(tuple, cat_chaos.load_table("edges").collect())) == e_full
+
+
+def test_chaos_mid_materialize_partial_write_converges(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """Chaos gate, last-stage twin: extract/link/canonicalize all
+    checkpointed, then the job dies mid-materialize leaving a PARTIAL
+    edges table and no materialize sentinel.  Resume must honor the
+    three upstream sentinels (no recompute) but distrust and fully
+    rebuild the outputs: vertices + edges byte-identical to an
+    uninterrupted run, no partial rows surviving."""
+    cat_full = ParquetCatalog(spark, str(tmp_path / "full"))
+    cat_chaos = ParquetCatalog(spark, str(tmp_path / "chaos"))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+
+    run_pipeline(spark, docs, aliases, cat_full, PipelineConfig(run_id="m"))
+    v_full = sorted(map(tuple, cat_full.load_table("vertices").collect()))
+    e_full = sorted(map(tuple, cat_full.load_table("edges").collect()))
+
+    # crash point: everything upstream done; materialize died mid-write
+    run_pipeline(
+        spark, docs, aliases, cat_chaos,
+        PipelineConfig(run_id="m", stages=("extract", "link", "canonicalize")),
+    )
+    cat_chaos.write_table(cat_full.load_table("edges").limit(13), "edges")
+    # vertices never got written at all — an even earlier torn point
+
+    res = run_pipeline(spark, docs, aliases, cat_chaos, PipelineConfig(run_id="m"))
+    assert res["extract_pending_docs"] == 0
+    assert res["link_skipped"] is True
+    assert res["canonicalize_skipped"] is True
+    assert res["materialize_skipped"] is False  # partial table not trusted
+    assert sorted(map(tuple, cat_chaos.load_table("vertices").collect())) == v_full
+    assert sorted(map(tuple, cat_chaos.load_table("edges").collect())) == e_full
