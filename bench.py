@@ -254,6 +254,15 @@ def main() -> int:
         lambda: force(registry.q_rule_support(spark, sf_dir)),
     )
 
+    # Post-run probe: a window can degrade MID-run (BENCH r4: probe-ok at
+    # start, warm-touch collapsed during the suite and inflated the
+    # bandwidth-bound kg_pipeline line 3x).  Stamping both endpoints lets
+    # a reader separate ambient collapse from code regression.
+    p2 = probe()
+    extras["probe_after_ok"] = p2["ok"]
+    extras["probe_after_warm_copy_gb_s"] = p2["warm_copy_gb_s"]
+    extras["probe_after_cold_touch_mb_s"] = p2["cold_touch_mb_s"]
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
