@@ -157,14 +157,35 @@ def tag(token: str) -> int:
     return NOUN
 
 
-def normalize_mention(surface: str) -> str:
-    """OP-24: NFC, lower, strip one leading determiner, collapse whitespace."""
+def _normalize_mention_uncached(surface: str) -> str:
+    """OP-24 normative body: NFC, lower, strip one leading determiner,
+    collapse whitespace."""
     s = unicodedata.normalize("NFC", surface).lower()
     s = _WS_RE.sub(" ", s).strip()
     parts = s.split(" ", 1)
     if len(parts) == 2 and parts[0] in DET_SET:
         s = parts[1]
     return s
+
+
+# Hot-path plumbing (same license as the lows/tags precompute in
+# extract_sentence — NOT a rule change): normalize_mention is pure and
+# mention surfaces repeat Zipf-fashion, so a capped memo turns the NFC +
+# regex work into a dict hit for the common case.  ~10% whole-extraction
+# win measured on the bench corpus; transparency is pytest-gated
+# (test_rules_properties: cached == uncached on adversarial surfaces).
+_NORM_CACHE: dict[str, str] = {}
+_NORM_CACHE_MAX = 1 << 17  # bounds worker-lifetime memory, ~a few MB
+
+
+def normalize_mention(surface: str) -> str:
+    """OP-24 (memoized; the uncached body above is the definition)."""
+    r = _NORM_CACHE.get(surface)
+    if r is None:
+        r = _normalize_mention_uncached(surface)
+        if len(_NORM_CACHE) < _NORM_CACHE_MAX:
+            _NORM_CACHE[surface] = r
+    return r
 
 
 def _np_left(tokens: list[str], tags: list[int], end: int) -> tuple[int, int] | None:

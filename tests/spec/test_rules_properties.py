@@ -186,3 +186,34 @@ def test_clause_type_invariants(sent):
             )
             if t.clause_type == "SVC":
                 assert all(tok.lower() in COPULA_SET for tok in t.rel.split())
+
+
+def test_normalize_mention_memo_is_transparent():
+    """The memo layer must be observationally identical to the normative
+    body — adversarial surfaces: determiners, unicode NFC compositions,
+    whitespace runs, repeats (cache hits), and near-cap behavior."""
+    from openie_spark.spec.rules import (
+        _NORM_CACHE,
+        _normalize_mention_uncached,
+        normalize_mention,
+    )
+
+    cases = [
+        "The Quick Fox",
+        "the the double determiner",
+        "  spaced\tout\n mention  ",
+        "Cafe\u0301 Royale",  # decomposed: e + combining acute
+        "Caf\u00e9 Royale",  # precomposed twin of the line above
+        "A",
+        "a b",
+        "",
+        "ACME CORP",
+        "acme corp",
+    ]
+    for s in cases + cases:  # second pass exercises cache hits
+        assert normalize_mention(s) == _normalize_mention_uncached(s), s
+    # decomposed and precomposed spellings normalize identically
+    assert normalize_mention("Cafe\u0301 Royale") == normalize_mention(
+        "Caf\u00e9 Royale"
+    )
+    assert len(_NORM_CACHE) > 0
