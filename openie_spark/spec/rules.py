@@ -157,6 +157,25 @@ def tag(token: str) -> int:
     return NOUN
 
 
+# Hot-path plumbing (NOT a rule change): one dict lookup replaces the 5
+# chained set-membership tests of tag() — NOUN tokens (the majority) pay
+# five misses there.  Built in REVERSE precedence so a word in several
+# lexica gets the same tag tag() would return (VERB wins, then PREP, DET,
+# ADJ, ADV).  test_rules_properties pins map-vs-tag() equality.
+_TAG_MAP: dict[str, int] = {}
+for _w in ADV_SET:
+    _TAG_MAP[_w] = R
+for _w in ADJ_SET:
+    _TAG_MAP[_w] = A
+for _w in DET_SET:
+    _TAG_MAP[_w] = D
+for _w in PREP_SET:
+    _TAG_MAP[_w] = P
+for _w in VERB_SET:
+    _TAG_MAP[_w] = V
+del _w
+
+
 def _normalize_mention_uncached(surface: str) -> str:
     """OP-24 normative body: NFC, lower, strip one leading determiner,
     collapse whitespace."""
@@ -186,6 +205,19 @@ def normalize_mention(surface: str) -> str:
         if len(_NORM_CACHE) < _NORM_CACHE_MAX:
             _NORM_CACHE[surface] = r
     return r
+
+
+def _norm_span(lows: list[str], a: int, b: int) -> str:
+    """normalize_mention specialized to an extraction span (hot-path
+    plumbing, NOT a rule change): surfaces here are ' '-joins of TOKEN_RE
+    matches — pure ASCII (NFC is identity), single-spaced, no edge
+    whitespace — so the normative body reduces to joining the pre-lowered
+    tokens and dropping one leading determiner when another word follows.
+    test_rules_properties pins equality with normalize_mention on every
+    emitted span."""
+    if b - a > 1 and lows[a] in DET_SET:
+        a += 1
+    return " ".join(lows[a:b])
 
 
 def _np_left(tokens: list[str], tags: list[int], end: int) -> tuple[int, int] | None:
@@ -284,7 +316,7 @@ def _np_arcs(
     segs = _conjunct_spans(lows, tags, span, has_conj)
     first_head = _seg_head(lows, tags, segs[0])
     for k, seg in enumerate(segs):
-        h = _seg_head(lows, tags, seg)
+        h = first_head if k == 0 else _seg_head(lows, tags, seg)
         if k > 0:
             arcs.append(f"cc({h},{seg[0] - 1})")  # the conj token before seg
             arcs.append(f"conj({first_head},{h})")
@@ -312,10 +344,14 @@ def _clause_arcs(
     subj_span: tuple[int, int],
     arg_span: tuple[int, int] | None,
     has_conj: bool,
-) -> list[str]:
-    """v3: assemble the clause's dependency arcs.  Typing is DERIVED from
-    this arc pattern (see extract_sentence), not computed separately."""
+) -> tuple[list[str], str]:
+    """v3: assemble the clause's dependency arcs and the clause type.  The
+    type IS the arc pattern (obl→SVA, cop→SVC, obj→SVO, else SV) — it is
+    returned alongside the arcs because this function already knows which
+    branch fired; _type_from_arcs stays the normative derivation and the
+    property/v3 tests assert the two agree on every emitted row."""
     arcs: list[str] = []
+    clause_type = "SV"
     subj_head = subj_span[1] - 1  # rightmost noun of the subject NP
     all_cop = all(lows[j] in COPULA_SET for j in range(i, v_end + 1))
     if arg_span is not None:
@@ -324,13 +360,16 @@ def _clause_arcs(
             arcs.append(f"nsubj({v_end},{subj_head})")
             arcs.append(f"obl({v_end},{arg_head})")
             arcs.append(f"case({arg_head},{last_p})")
+            clause_type = "SVA"
         elif all_cop:  # copular clause: complement is the head (UD cop)
             arcs.append(f"nsubj({arg_head},{subj_head})")
             for j in range(i, v_end + 1):
                 arcs.append(f"cop({arg_head},{j})")
+            clause_type = "SVC"
         else:
             arcs.append(f"nsubj({v_end},{subj_head})")
             arcs.append(f"obj({v_end},{arg_head})")
+            clause_type = "SVO"
     else:
         arcs.append(f"nsubj({v_end},{subj_head})")
         if last_p >= 0:  # trailing preposition, no argument to attach
@@ -359,7 +398,7 @@ def _clause_arcs(
     _np_arcs(lows, tags, subj_span, arcs, has_conj)
     if arg_span is not None:
         _np_arcs(lows, tags, arg_span, arcs, has_conj)
-    return arcs
+    return arcs, clause_type
 
 
 def _type_from_arcs(arcs: list[str]) -> str:
@@ -385,16 +424,9 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
     # hot path: lowercase once, tag from the lowered forms (identical to
     # per-token tag()), and precompute sentence-level CONJ presence so
     # conjunction-free sentences skip all v3 splitting machinery
-    lows = [t.lower() for t in tokens]
-    tags = [
-        V if t in VERB_SET
-        else P if t in PREP_SET
-        else D if t in DET_SET
-        else A if t in ADJ_SET
-        else R if t in ADV_SET
-        else NOUN
-        for t in lows
-    ]
+    lows = list(map(str.lower, tokens))
+    _tg = _TAG_MAP.get
+    tags = [_tg(t, NOUN) for t in lows]
     has_conj = not CONJ_SET.isdisjoint(lows)
     n = len(tokens)
     out: list[Triple] = []
@@ -411,7 +443,8 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
         rel_end = v_end
         j = v_end + 1
         last_p = -1
-        while j < n and (tags[j] in _W_SET or tags[j] == P):
+        # _W_SET ∪ {P} is every tag except V, so the zone test is != V
+        while j < n and tags[j] != V:
             if tags[j] == P:
                 last_p = j
             j += 1
@@ -424,18 +457,18 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
             continue
         subj = " ".join(tokens[subj_span[0] : subj_span[1]])
         rel = " ".join(tokens[i : rel_end + 1])
-        arcs = _clause_arcs(
+        arcs, clause_type = _clause_arcs(
             lows, tags, i, v_end, rel_end, last_p, subj_span, arg_span, has_conj
         )
         deps = "|".join(arcs)
-        clause_type = _type_from_arcs(arcs)
         subj_segs = _conjunct_spans(lows, tags, subj_span, has_conj)
         if arg_span is None:
             # SV emission (v2): intransitive clause.  Resume point is
             # v_end + 1 — exactly where v1 resumed from its no-emit path.
             out.append(
                 Triple(
-                    sent_idx, subj, rel, "", normalize_mention(subj), "",
+                    sent_idx, subj, rel, "",
+                    _norm_span(lows, subj_span[0], subj_span[1]), "",
                     1.0, clause_type, deps, 0,
                 )
             )
@@ -445,7 +478,7 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
                     out.append(
                         Triple(
                             sent_idx, s_sur, rel, "",
-                            normalize_mention(s_sur), "",
+                            _norm_span(lows, ss[0], ss[1]), "",
                             1.0, clause_type, deps, 1,
                         )
                     )
@@ -458,8 +491,8 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
                 subj,
                 rel,
                 arg,
-                normalize_mention(subj),
-                normalize_mention(arg),
+                _norm_span(lows, subj_span[0], subj_span[1]),
+                _norm_span(lows, arg_span[0], arg_span[1]),
                 1.0,
                 clause_type,
                 deps,
@@ -477,7 +510,8 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
                     out.append(
                         Triple(
                             sent_idx, s_sur, rel, a_sur,
-                            normalize_mention(s_sur), normalize_mention(a_sur),
+                            _norm_span(lows, ss[0], ss[1]),
+                            _norm_span(lows, asg[0], asg[1]),
                             1.0, clause_type, deps, 1,
                         )
                     )

@@ -188,6 +188,42 @@ def test_clause_type_invariants(sent):
                 assert all(tok.lower() in COPULA_SET for tok in t.rel.split())
 
 
+@settings(max_examples=300, deadline=None)
+@given(sentences)
+def test_hotpath_tagmap_and_normspan_equal_normative(sent):
+    """The two hot-path specializations must be observationally identical
+    to the normative bodies: _TAG_MAP.get(w, NOUN) == tag(w) for every
+    token (incl. lexicon-overlap precedence), and _norm_span over any
+    token slice == normalize_mention of the joined surface."""
+    from openie_spark.spec.rules import NOUN, _TAG_MAP, _norm_span, tag
+
+    toks = tokenize(sent)
+    lows = [t.lower() for t in toks]
+    for t, lo in zip(toks, lows):
+        assert _TAG_MAP.get(lo, NOUN) == tag(t), t
+    n = len(toks)
+    for a in range(n):
+        for b in range(a + 1, min(n, a + 4) + 1):
+            surface = " ".join(toks[a:b])
+            assert _norm_span(lows, a, b) == normalize_mention(surface), surface
+
+
+def test_tagmap_covers_every_lexicon_word():
+    """Exhaustive (the lexica are finite): the precedence-folded map agrees
+    with tag() on the union of all five lexica."""
+    from openie_spark.spec.lexicon import (
+        ADJ_SET,
+        ADV_SET,
+        DET_SET,
+        PREP_SET,
+        VERB_SET,
+    )
+    from openie_spark.spec.rules import NOUN, _TAG_MAP, tag
+
+    for w in VERB_SET | PREP_SET | DET_SET | ADJ_SET | ADV_SET:
+        assert _TAG_MAP.get(w, NOUN) == tag(w), w
+
+
 def test_normalize_mention_memo_is_transparent():
     """The memo layer must be observationally identical to the normative
     body — adversarial surfaces: determiners, unicode NFC compositions,
