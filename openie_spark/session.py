@@ -51,6 +51,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd beats snappy on this workload both ways: triples/edges files
+        # ~25% smaller (the deps arc text compresses well) AND the
+        # bucket-clustered write measured faster (fewer bytes through the
+        # page cache on a membw-bound host).  At 100 TB smaller files are
+        # strictly better for the downstream link/materialize scans.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("OPENIE_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
