@@ -1840,49 +1840,77 @@ ORDER BY doc_id
 REL_CARD_THRESHOLD_MICRO = 1_500_000
 
 
+# Entity-type tags for star_kg_edges: raw TPC-H keys live in overlapping
+# integer spaces (custkey 5 == partkey 5 == orderkey 5), so an untyped KG
+# manufactures spurious compositions — `contains∘contains` "paths" where a
+# partkey numerically collides with an orderkey.  Measured at sf0.1 those
+# collisions were ~30% of all r1∘r2 paths (7.6M of 25.7M) and every rule
+# they supported was noise (the normalized star schema has NO genuine
+# redundancy, so ALL 28 previously-mined rules were collision artifacts).
+# Namespacing id = key*8 + type_code makes entity identity injective per
+# type (the standard KG practice of IRI-per-type); headroom: 8× a 62-bit
+# key space still fits BIGINT.  The `ships_from` relation (order →
+# supplier, from lineitem) is included precisely because it IS redundant
+# with contains∘supplied_by — giving rule mining one genuine
+# low-confidence rule to find instead of collision noise.
+ENTITY_TYPE_CODES = {
+    "order": 0,
+    "customer": 1,
+    "nation": 2,
+    "supplier": 3,
+    "part": 4,
+    "region": 5,
+}
+
+
 def star_kg_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic KG over the star schema: distinct (pred, head, tail)
     edges for placed_by / based_in / located_in / in_region / contains /
-    supplied_by.  Shared by relation_cardinality and rule_support; the
-    SQL twin is STAR_KG_EDGES_SQL (keep in lockstep)."""
+    supplied_by, with TYPE-NAMESPACED entity ids (see ENTITY_TYPE_CODES).
+    Shared by relation_cardinality and rule_support; the SQL twin is
+    STAR_KG_EDGES_SQL (keep in lockstep)."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     li = load(spark, sf_dir, "lineitem")
     s = load(spark, sf_dir, "supplier")
+    T = ENTITY_TYPE_CODES
 
-    def edge(df, pred, h, t):
+    def edge(df, pred, h, ht, t, tt):
         return df.select(
             F.lit(pred).alias("pred"),
-            F.col(h).cast("long").alias("head"),
-            F.col(t).cast("long").alias("tail"),
+            (F.col(h).cast("long") * 8 + T[ht]).alias("head"),
+            (F.col(t).cast("long") * 8 + T[tt]).alias("tail"),
         )
 
     return (
-        edge(o, "placed_by", "o_orderkey", "o_custkey")
-        .unionByName(edge(c, "based_in", "c_custkey", "c_nationkey"))
-        .unionByName(edge(s, "located_in", "s_suppkey", "s_nationkey"))
-        .unionByName(edge(n, "in_region", "n_nationkey", "n_regionkey"))
-        .unionByName(edge(li, "contains", "l_orderkey", "l_partkey"))
-        .unionByName(edge(li, "supplied_by", "l_partkey", "l_suppkey"))
+        edge(o, "placed_by", "o_orderkey", "order", "o_custkey", "customer")
+        .unionByName(edge(c, "based_in", "c_custkey", "customer", "c_nationkey", "nation"))
+        .unionByName(edge(s, "located_in", "s_suppkey", "supplier", "s_nationkey", "nation"))
+        .unionByName(edge(n, "in_region", "n_nationkey", "nation", "n_regionkey", "region"))
+        .unionByName(edge(li, "contains", "l_orderkey", "order", "l_partkey", "part"))
+        .unionByName(edge(li, "supplied_by", "l_partkey", "part", "l_suppkey", "supplier"))
+        .unionByName(edge(li, "ships_from", "l_orderkey", "order", "l_suppkey", "supplier"))
         .distinct()
     )
 
 
 STAR_KG_EDGES_SQL = """
   SELECT DISTINCT * FROM (
-    SELECT 'placed_by' AS pred, CAST(o_orderkey AS BIGINT) AS head,
-           CAST(o_custkey AS BIGINT) AS tail FROM orders
+    SELECT 'placed_by' AS pred, CAST(o_orderkey AS BIGINT) * 8 + 0 AS head,
+           CAST(o_custkey AS BIGINT) * 8 + 1 AS tail FROM orders
     UNION ALL
-    SELECT 'based_in', c_custkey, c_nationkey FROM customer
+    SELECT 'based_in', c_custkey * 8 + 1, c_nationkey * 8 + 2 FROM customer
     UNION ALL
-    SELECT 'located_in', s_suppkey, s_nationkey FROM supplier
+    SELECT 'located_in', s_suppkey * 8 + 3, s_nationkey * 8 + 2 FROM supplier
     UNION ALL
-    SELECT 'in_region', n_nationkey, n_regionkey FROM nation
+    SELECT 'in_region', n_nationkey * 8 + 2, n_regionkey * 8 + 5 FROM nation
     UNION ALL
-    SELECT 'contains', l_orderkey, l_partkey FROM lineitem
+    SELECT 'contains', l_orderkey * 8 + 0, l_partkey * 8 + 4 FROM lineitem
     UNION ALL
-    SELECT 'supplied_by', l_partkey, l_suppkey FROM lineitem
+    SELECT 'supplied_by', l_partkey * 8 + 4, l_suppkey * 8 + 3 FROM lineitem
+    UNION ALL
+    SELECT 'ships_from', l_orderkey * 8 + 0, l_suppkey * 8 + 3 FROM lineitem
   )
 """
 
