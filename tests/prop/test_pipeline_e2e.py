@@ -341,3 +341,46 @@ def test_chaos_mid_materialize_partial_write_converges(
     assert res["materialize_skipped"] is False  # partial table not trusted
     assert sorted(map(tuple, cat_chaos.load_table("vertices").collect())) == v_full
     assert sorted(map(tuple, cat_chaos.load_table("edges").collect())) == e_full
+
+
+def test_clustered_extract_plan_bit_identical(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """The one-shuffle clustered extract plan (bounded doc_id salt refining
+    partition_id — no triples re-shuffle before the partitioned write) must
+    produce the exact same triples TABLE (content AND partition_id layout)
+    as the two-shuffle salted plan, and the auto switch must pick it for
+    large inputs only."""
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+
+    cat_salted = ParquetCatalog(spark, str(tmp_path / "salted"))
+    cat_clustered = ParquetCatalog(spark, str(tmp_path / "clustered"))
+    run_pipeline(
+        spark, docs, aliases, cat_salted,
+        PipelineConfig(
+            run_id="ps", stages=("extract",), cluster_before_extract=False
+        ),
+    )
+    run_pipeline(
+        spark, docs, aliases, cat_clustered,
+        PipelineConfig(
+            run_id="pc", stages=("extract",), cluster_before_extract=True
+        ),
+    )
+    a = sorted(map(tuple, cat_salted.load_table("triples").collect()))
+    b = sorted(map(tuple, cat_clustered.load_table("triples").collect()))
+    assert a == b and len(a) > 1000
+
+    # auto mode: golden corpus (~hundreds of docs) stays on the salted plan;
+    # a tiny per-sub-bucket threshold forces the clustered plan — both under
+    # the default config surface users actually touch
+    cat_auto = ParquetCatalog(spark, str(tmp_path / "auto"))
+    run_pipeline(
+        spark, docs, aliases, cat_auto,
+        PipelineConfig(
+            run_id="pa", stages=("extract",), cluster_min_docs_per_bucket=0
+        ),
+    )
+    c = sorted(map(tuple, cat_auto.load_table("triples").collect()))
+    assert c == a
