@@ -61,6 +61,14 @@ def main(argv: list[str] | None = None) -> int:
                          "(spark.openie.lineageCut); 'reliable' checkpoints "
                          "to <output>/_checkpoints for multi-executor fault "
                          "tolerance")
+    ap.add_argument("--cluster-extract", default="auto",
+                    choices=("auto", "on", "off"),
+                    help="extract-stage salt width: 'on' = bounded salt "
+                         "refining partition_id (one corpus shuffle, no "
+                         "triples re-shuffle — the big-input plan), 'off' = "
+                         "full-width salt + triples repartition (small "
+                         "inputs), 'auto' (default) switches at >=1000 "
+                         "docs per sub-bucket")
     ap.add_argument("--master", default=None)
     args = ap.parse_args(argv)
 
@@ -89,6 +97,9 @@ def main(argv: list[str] | None = None) -> int:
             collect_counts=not args.no_counts,
             check_invariant=not args.no_invariant,
             broadcast_canon=not args.no_broadcast_canon,
+            cluster_before_extract={"auto": None, "on": True, "off": False}[
+                args.cluster_extract
+            ],
         )
         res = run_pipeline(spark, docs, aliases, ParquetCatalog(spark, args.output), cfg)
         print(json.dumps(res, default=str))
