@@ -88,6 +88,12 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--force", action="store_true", help="record despite a degraded-host probe")
     ap.add_argument("--skip-bench", action="store_true")
+    ap.add_argument(
+        "--bench-only",
+        action="store_true",
+        help="re-record BENCH_local.json without replaying the correctness "
+        "sweep (for when the host degraded mid-bench but the sweep is good)",
+    )
     ap.add_argument("--out-dir", default=str(REPO))
     args = ap.parse_args()
     out_dir = Path(args.out_dir)
@@ -104,27 +110,28 @@ def main() -> int:
         )
         return 1
 
-    from openie_spark.session import get_spark
+    if not args.bench_only:
+        from openie_spark.session import get_spark
 
-    spark = get_spark(
-        app="round-artifacts",
-        master="local[8]",
-        shuffle_partitions=16,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    spark.sparkContext.setLogLevel("ERROR")
-    results = run_correctness(spark)
-    spark.stop()
+        spark = get_spark(
+            app="round-artifacts",
+            master="local[8]",
+            shuffle_partitions=16,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        results = run_correctness(spark)
+        spark.stop()
 
-    fails = [n for n, r in results.items() if r["hash_match"] is False]
-    n_pass = sum(1 for r in results.values() if r["hash_match"])
-    corr = {"_probe": p, **results}
-    (out_dir / "CORRECTNESS_local.json").write_text(json.dumps(corr, indent=2))
-    print(
-        f"correctness: {n_pass} hash-match, {len(fails)} FAIL "
-        f"({fails if fails else 'clean'}), {len(results)} total",
-        flush=True,
-    )
+        fails = [n for n, r in results.items() if r["hash_match"] is False]
+        n_pass = sum(1 for r in results.values() if r["hash_match"])
+        corr = {"_probe": p, **results}
+        (out_dir / "CORRECTNESS_local.json").write_text(json.dumps(corr, indent=2))
+        print(
+            f"correctness: {n_pass} hash-match, {len(fails)} FAIL "
+            f"({fails if fails else 'clean'}), {len(results)} total",
+            flush=True,
+        )
 
     if not args.skip_bench:
         out = subprocess.run(
