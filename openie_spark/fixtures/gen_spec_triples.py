@@ -2,12 +2,17 @@
 (spec/rules.py) applied single-process to EXACTLY the docs the registry's
 ``_docs()`` loads (interleaved sf docs + golden grammar corpus).
 
-This is the independent oracle side for the extraction-derived aggregate
-queries (``clause_stats``, ``dep_arc_stats``): Spark's distributed
-mapInArrow kernel and this single-process run share only the frozen spec,
-so a DuckDB aggregate over this parquet cross-checks the whole
-distributed path (Arrow round-trip, partitioning, explode/split logic)
-— not just the rule semantics the L2 golden gate already pins.
+This is the independent oracle side for the extraction-derived queries
+(``extract_triples``, ``mentions``, ``clause_stats``, ``dep_arc_stats``):
+Spark's distributed mapInArrow kernel and this single-process run share
+only the frozen spec, so a DuckDB scan/aggregate over this parquet
+cross-checks the whole distributed path (Arrow round-trip, partitioning,
+explode/split logic) — not just the rule semantics the L2 golden gate
+already pins.  The fixture carries the FULL triple row (every
+TRIPLE_STRUCT column) so the identity oracle on ``extract_triples``
+value-hashes all of it, including the ``conf`` doubles (bit-identical by
+construction: both sides run the same pure-Python rule kernel per row,
+never a reassociated float reduction).
 
 Cache key carries RULESET_VERSION + the sf dir name, so a ruleset bump
 or a different scale regenerates automatically (CLAUDE.md fixture rule).
@@ -24,8 +29,14 @@ from openie_spark.fixtures import store
 TRIPLES_PA = pa.schema(
     [
         pa.field("doc_id", pa.string(), nullable=False),
-        pa.field("clause_type", pa.string(), nullable=False),
+        pa.field("sent_idx", pa.int32(), nullable=False),
+        pa.field("subj", pa.string(), nullable=False),
         pa.field("rel", pa.string(), nullable=False),
+        pa.field("arg", pa.string(), nullable=False),
+        pa.field("subj_norm", pa.string(), nullable=False),
+        pa.field("arg_norm", pa.string(), nullable=False),
+        pa.field("conf", pa.float64(), nullable=False),
+        pa.field("clause_type", pa.string(), nullable=False),
         pa.field("deps", pa.string(), nullable=False),
         pa.field("conj", pa.int32(), nullable=False),
     ]
@@ -40,22 +51,18 @@ def spec_triples_rows(sf_dir: str) -> list[dict]:
     rows = []
     for d in docs_interleaved(sf_dir) + golden_docs():
         for t in rules.extract_document(d["spans"]):
-            rows.append(
-                {
-                    "doc_id": d["doc_id"],
-                    "clause_type": t.clause_type,
-                    "rel": t.rel,
-                    "deps": t.deps,
-                    "conj": t.conj,
-                }
-            )
+            r = t._asdict()
+            r["doc_id"] = d["doc_id"]
+            rows.append(r)
     return rows
 
 
 def spec_triples_path(sf_dir: str) -> str:
     from openie_spark.spec import rules
 
-    name = f"spec_triples_{rules.RULESET_VERSION}_{Path(sf_dir).name}"
+    # 'full' tags the schema revision (all TRIPLE_STRUCT columns); the old
+    # 5-column fixtures self-retire under the previous name.
+    name = f"spec_triples_{rules.RULESET_VERSION}_full_{Path(sf_dir).name}"
     return store.ensure(
         name,
         lambda p: store.write_rows(spec_triples_rows(sf_dir), TRIPLES_PA, p),

@@ -961,7 +961,11 @@ FROM r WHERE rnk <= 5 ORDER BY query_id, rnk
 
 
 def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-20..23: full fused extraction over the interleaved docs table."""
+    """OP-20..23: full fused extraction over the interleaved docs table.
+    Oracle-checked row-for-row: the DuckDB side is an identity scan of the
+    spec-side triples fixture (gen_spec_triples — the pure-Python frozen
+    rules run single-process over the same docs), so the driver's value
+    hash pins EVERY column of EVERY triple the distributed kernel emits."""
     return extract_stage(_docs(spark, sf_dir))
 
 
@@ -1002,13 +1006,51 @@ GROUP BY clause_type ORDER BY clause_type
 """
 
 
+def _extract_triples_sql() -> str:
+    """Identity oracle over the FULL spec-side triples fixture: the driver
+    value-hashes every column of every row the distributed mapInArrow
+    kernel emits against the single-process frozen-spec run.  ``conf`` is
+    a per-row double computed by the same pure-Python kernel on both
+    sides (never a reassociated reduction), so it hashes bit-identically."""
+    from openie_spark.fixtures.gen_spec_triples import spec_triples_path
+    from openie_spark.spec.rules import RULESET_VERSION
+
+    return f"""
+SELECT doc_id, sent_idx, subj, rel, arg, subj_norm, arg_norm, conf,
+       clause_type, deps, conj, '{RULESET_VERSION}' AS ruleset
+FROM read_parquet('{spec_triples_path(ORACLE_SF_DIR)}')
+"""
+
+
+def _mentions_sql() -> str:
+    """mentions = role-exploded projection of the triples (OP-24 surface);
+    the oracle re-derives it in SQL from the spec fixture — v2 SV clauses
+    carry no argument, so the arg side filters empty norms, mirroring
+    extract.mentions_from_triples."""
+    from openie_spark.fixtures.gen_spec_triples import spec_triples_path
+
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{spec_triples_path(ORACLE_SF_DIR)}'))
+SELECT subj_norm AS mention_norm, doc_id, sent_idx,
+       'subj' AS role, subj AS surface
+FROM t
+UNION ALL
+SELECT arg_norm AS mention_norm, doc_id, sent_idx,
+       'arg' AS role, arg AS surface
+FROM t WHERE arg_norm <> ''
+"""
+
+
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-24 + mention fan-out (normalization is pure built-ins upstream)."""
+    """OP-24 + mention fan-out (normalization is pure built-ins upstream).
+    Oracle-checked: the DuckDB side re-derives the role explosion in SQL
+    from the spec-side triples fixture (_mentions_sql)."""
     return mentions_from_triples(extract_stage(_docs(spark, sf_dir)))
 
 
 def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OP-25: returns one row of violation counts; both must be 0.
+    """OP-25: returns one row of violation counts; both must be 0 —
+    oracle-checked against the pinned (0, 0) row (SQL_SPAN_INVARIANT).
 
     Non-vacuous by construction: the output side is an identity Arrow
     round-trip + shuffle repartition of the docs — two genuinely different
@@ -1019,6 +1061,15 @@ def q_span_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(res["missing"]), int(res["extra"]))], "missing bigint, extra bigint"
     )
+
+
+# The invariant's contract IS its expected value: zero violations in both
+# directions.  Pinning (0, 0) as a constant oracle turns "the checker ran"
+# into a driver-hash-verified assertion that it ran AND found the span
+# multiset preserved across the Arrow round-trip + shuffle lineage.
+SQL_SPAN_INVARIANT = """
+SELECT CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra
+"""
 
 
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1145,14 +1196,63 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAM_TIMEOUT_DELAY_MS = 60_000
 
 
+def _stream_sessions_sql() -> str:
+    """DuckDB twin of streaming.stateful.closed_sessions_batch with
+    event-time timeout: a session is emitted iff a successor event exists
+    past the gap OR its gap horizon fell strictly behind the final
+    watermark ``max(ts_us)//1000 - delay_ms`` (the //1000 truncations
+    mirror Spark's ms-precision watermark and ms-valued timeouts).  Same
+    SESSION_GAP_US constant as SQL_SESSIONIZE — one home,
+    operators/temporal.py.  This makes the stateful streaming operator's
+    exactly-once sink output driver-hash-verified, not just rows-counted:
+    determinism holds because the sink is content-fingerprint-cached and
+    applyInPandasWithState emits values independent of batch order."""
+    gap = _session_gap_us()
+    delay = STREAM_TIMEOUT_DELAY_MS
+    return f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+marked AS (
+  SELECT user_id, ts_us,
+         CASE WHEN ts_us - LAG(ts_us) OVER w IS NULL
+                OR ts_us - LAG(ts_us) OVER w > {gap}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+),
+sess AS (
+  SELECT user_id, ts_us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_seq
+  FROM marked
+),
+agg AS (
+  SELECT user_id, session_seq,
+         CAST(MIN(ts_us) AS BIGINT) AS session_start_us,
+         CAST(MAX(ts_us) AS BIGINT) AS session_end_us,
+         COUNT(*) AS n_events
+  FROM sess GROUP BY user_id, session_seq
+),
+lastq AS (SELECT user_id, MAX(session_seq) AS max_seq FROM agg GROUP BY user_id),
+wm AS (SELECT MAX(ts_us) // 1000 - {delay} AS wm_ms FROM e)
+SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events
+FROM agg a
+JOIN lastq l ON a.user_id = l.user_id
+CROSS JOIN wm
+WHERE a.session_seq <> l.max_seq
+   OR (a.session_end_us + {gap}) // 1000 < wm.wm_ms
+ORDER BY a.user_id, a.session_start_us
+"""
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     session splitting with cross-batch state AND event-time timeout (a
     60 s watermark closes idle users' final sessions in the trailing
     no-data batch), run to completion with Trigger.AvailableNow over the
     events table and read back from the exactly-once parquet sink.
-    Rows-only; batch-twin equality (both timeout modes) and cross-run
-    state carry are gated in tests/unit/test_streaming.py.
+    Oracle-checked against the DuckDB gap-rule twin (_stream_sessions_sql);
+    batch-twin equality (both timeout modes) and cross-run state carry are
+    additionally gated in tests/unit/test_streaming.py.
 
     The stream run is a build-once cache under .fixtures keyed on a
     CONTENT fingerprint of the events input (count + xxhash sum), so a
@@ -2962,6 +3062,8 @@ ORACLE_SQL = {
     "mis": _mis_sql(),
     "dup_ngram_stats": _dup_ngram_stats_sql(),
     "domain_mix": _domain_mix_sql(),
+    "span_invariant": SQL_SPAN_INVARIANT,
+    "stream_sessions": _stream_sessions_sql(),
 }
 
 
@@ -2976,4 +3078,6 @@ def build_oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["clause_stats"] = _clause_stats_sql()
     out["dep_arc_stats"] = _dep_arc_stats_sql()
+    out["extract_triples"] = _extract_triples_sql()
+    out["mentions"] = _mentions_sql()
     return out
