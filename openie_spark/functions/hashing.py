@@ -25,3 +25,79 @@ def portable_hash60(*cols) -> "F.Column":
         "|", *[F.col(c) if isinstance(c, str) else c for c in cols]
     )
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64 — the single-process twin of Spark's ``F.xxhash64`` on
+# ONE string column (Spark hashes the UTF-8 bytes with seed 42).  Implemented
+# from the public xxHash spec (Yann Collet, github.com/Cyan4973/xxHash,
+# BSD-2); used by the linking-twin oracle fixture so minted entity ids are
+# reproducible outside the JVM.  NOT a hot path — scalar oracle use only.
+# ---------------------------------------------------------------------------
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = (1 << 64) - 1
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _round(acc: int, inp: int) -> int:
+    acc = (acc + inp * _P2) & _M64
+    return (_rotl(acc, 31) * _P1) & _M64
+
+
+def _merge(h: int, v: int) -> int:
+    h ^= _round(0, v)
+    return (h * _P1 + _P4) & _M64
+
+
+def xxh64(data: bytes, seed: int = 42) -> int:
+    """XXH64 of ``data`` as a SIGNED int64 — bit-identical to Spark's
+    ``xxhash64(string_col)`` when ``data = s.encode('utf-8')`` (Spark's
+    default seed is 42)."""
+    n = len(data)
+    if n >= 32:
+        v1 = (seed + _P1 + _P2) & _M64
+        v2 = (seed + _P2) & _M64
+        v3 = seed & _M64
+        v4 = (seed - _P1) & _M64
+        i = 0
+        while i <= n - 32:
+            v1 = _round(v1, int.from_bytes(data[i : i + 8], "little"))
+            v2 = _round(v2, int.from_bytes(data[i + 8 : i + 16], "little"))
+            v3 = _round(v3, int.from_bytes(data[i + 16 : i + 24], "little"))
+            v4 = _round(v4, int.from_bytes(data[i + 24 : i + 32], "little"))
+            i += 32
+        h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)) & _M64
+        h = _merge(h, v1)
+        h = _merge(h, v2)
+        h = _merge(h, v3)
+        h = _merge(h, v4)
+    else:
+        h = (seed + _P5) & _M64
+        i = 0
+    h = (h + n) & _M64
+    while i <= n - 8:
+        h ^= _round(0, int.from_bytes(data[i : i + 8], "little"))
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i <= n - 4:
+        h ^= (int.from_bytes(data[i : i + 4], "little") * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h

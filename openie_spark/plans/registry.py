@@ -1041,6 +1041,58 @@ FROM t WHERE arg_norm <> ''
 """
 
 
+def _entity_links_sql() -> str:
+    """Identity oracle over the pure-Python linking twin (gen_linking_twin):
+    abstention-free — minted ids come from the validated pure-Python XXH64
+    twin of Spark's xxhash64, so every (mention_norm, entity_id, method)
+    row of the distributed exact ∪ lsh ∪ minted stage is value-hash
+    pinned."""
+    from openie_spark.fixtures.gen_linking_twin import entity_links_path
+
+    return (
+        "SELECT mention_norm, entity_id, method "
+        f"FROM read_parquet('{entity_links_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _minhash_dedup_sql() -> str:
+    """Identity oracle over the pure-Python MinHash-LSH twin fixture
+    (gen_dedup_twin): the hash family is seed-frozen, so the 'probabilistic'
+    blocking is a pure function of the corpus — the twin re-runs shingling,
+    banding, bucket pairing and the Jaccard verify single-process with
+    plain sets, and the driver hash pins every (id_a, id_b, jaccard) row
+    the distributed band join emits."""
+    from openie_spark.fixtures.gen_dedup_twin import minhash_pairs_path
+
+    return (
+        "SELECT id_a, id_b, jaccard "
+        f"FROM read_parquet('{minhash_pairs_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _minhash_groups_sql() -> str:
+    """Identity oracle over the twin's union-find closure of the verified
+    pair graph (keeper = min id, singletons omitted) — pins the
+    distributed large-star/small-star CC output on the same pairs."""
+    from openie_spark.fixtures.gen_dedup_twin import near_dup_groups_path
+
+    return (
+        "SELECT doc_id, keeper_id "
+        f"FROM read_parquet('{near_dup_groups_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _simhash_dedup_sql() -> str:
+    """Identity oracle over the pure-Python SimHash twin (scalar _simhash
+    reference + independent chunk-bucket pairing and Hamming verify)."""
+    from openie_spark.fixtures.gen_dedup_twin import simhash_pairs_path
+
+    return (
+        "SELECT id_a, id_b, hamming "
+        f"FROM read_parquet('{simhash_pairs_path(ORACLE_SF_DIR)}')"
+    )
+
+
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-24 + mention fan-out (normalization is pure built-ins upstream).
     Oracle-checked: the DuckDB side re-derives the role explosion in SQL
@@ -1075,8 +1127,10 @@ SELECT CAST(0 AS BIGINT) AS missing, CAST(0 AS BIGINT) AS extra
 def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs over the documents table (word
     3-gram shingles → 64-perm signatures → 16x4 band bucket join → exact
-    Jaccard verify at 0.8).  Probabilistic blocking → rows-only driver
-    check; the recall/agreement gate is tests/unit/test_dedup.py."""
+    Jaccard verify at 0.8).  The hash family is seed-frozen, so the output
+    is a pure function of the corpus: oracle-checked row-for-row against
+    the pure-Python twin (gen_dedup_twin); the recall/agreement gate is
+    tests/unit/test_dedup.py."""
     from openie_spark.operators.dedup import minhash_dup_pairs
 
     d = load(spark, sf_dir, "documents")
@@ -1086,8 +1140,9 @@ def q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-level near-dup retention: the MinHash-LSH pair graph closed
     transitively with the DataFrame connected-components operator →
-    (doc_id, keeper_id) per clustered doc.  Rows-only (probabilistic
-    blocking); the transitive-closure gate is tests/unit/test_dedup.py."""
+    (doc_id, keeper_id) per clustered doc.  Oracle-checked against the
+    twin's union-find closure (gen_dedup_twin); the transitive-closure
+    gate is tests/unit/test_dedup.py."""
     from openie_spark.operators.dedup import near_dup_groups
 
     d = load(spark, sf_dir, "documents")
@@ -1095,8 +1150,10 @@ def q_minhash_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (64-bit, Hamming ≤ 3 via pigeonhole chunk
-    join).  Hash family not expressible in DuckDB → rows-only."""
+    """SimHash near-dup pairs (128-bit, Hamming ≤ 3 via pigeonhole chunk
+    join).  Oracle-checked against the pure-Python twin (gen_dedup_twin —
+    the hash family is seed-frozen, not expressible in DuckDB SQL but
+    fully reproducible as a fixture)."""
     from openie_spark.operators.dedup import simhash_dup_pairs
 
     d = load(spark, sf_dir, "documents")
@@ -1339,7 +1396,9 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """OP-30..35: exact broadcast join ∪ MinHash-LSH ∪ minting over the
-    extraction mentions, against the frozen alias-dict fixture."""
+    extraction mentions, against the frozen alias-dict fixture.
+    Oracle-checked row-for-row (gen_linking_twin): minted ids are pinned
+    via the pure-Python XXH64 twin of Spark's xxhash64."""
     from openie_spark.fixtures.entities import ensure_alias_dict
     from openie_spark.operators.linking import link_mentions
     from openie_spark.sources.tables import load_alias_dict
@@ -3080,4 +3139,8 @@ def build_oracle_sql() -> dict[str, str]:
     out["dep_arc_stats"] = _dep_arc_stats_sql()
     out["extract_triples"] = _extract_triples_sql()
     out["mentions"] = _mentions_sql()
+    out["minhash_dedup"] = _minhash_dedup_sql()
+    out["minhash_dedup_groups"] = _minhash_groups_sql()
+    out["simhash_dedup"] = _simhash_dedup_sql()
+    out["entity_links"] = _entity_links_sql()
     return out
