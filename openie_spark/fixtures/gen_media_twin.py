@@ -1,0 +1,217 @@
+"""Pure-Python single-process twin of the multimodal path — the oracle
+side for ``media_features``, ``media_thumbnails`` and ``media_frames``.
+
+Same fixture discipline as gen_spec_triples / gen_dedup_twin: the twin
+shares ONLY the frozen per-item kernels (the synthetic fetch, the
+pure-stdlib BMP/PPM codec in functions/imagecodec.py, and the labeled
+decode/feature stubs for codec-less formats) and re-executes the span
+explosion, fetch, decode, resize and frame-sampling loops single-process
+over plain lists.  Everything the CLUSTER adds — posexplode provenance,
+the two mapInPandas fences, Arrow float32 round-trips, the JVM
+micro-quantized serialization of the feature vector and the JVM md5 over
+thumbnail bytes — is then value-hash pinned by a DuckDB identity scan.
+
+Serialization single-home: feature strings come from
+``multimodal.feature_micro`` (the Python twin of ``feature_micro_col``);
+thumbnail md5 from hashlib over the identical PPM bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from pathlib import Path
+
+import pyarrow as pa
+
+from openie_spark.fixtures import store
+
+FEATURES_PA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("span_pos", pa.int32(), nullable=False),
+        pa.field("kind", pa.string(), nullable=False),
+        pa.field("media_ref", pa.string(), nullable=False),
+        pa.field("n_bytes", pa.int64(), nullable=False),
+        pa.field("width", pa.int32(), nullable=False),
+        pa.field("height", pa.int32(), nullable=False),
+        pa.field("duration_ms", pa.int32(), nullable=False),
+        pa.field("feature_q", pa.string(), nullable=False),
+    ]
+)
+
+THUMBS_PA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("span_pos", pa.int32(), nullable=False),
+        pa.field("media_ref", pa.string(), nullable=False),
+        pa.field("width", pa.int32(), nullable=False),
+        pa.field("height", pa.int32(), nullable=False),
+        pa.field("thumb_w", pa.int32(), nullable=False),
+        pa.field("thumb_h", pa.int32(), nullable=False),
+        pa.field("thumb_md5", pa.string(), nullable=False),
+        pa.field("thumb_bytes", pa.int32(), nullable=False),
+    ]
+)
+
+FRAMES_PA = pa.schema(
+    [
+        pa.field("doc_id", pa.string(), nullable=False),
+        pa.field("span_pos", pa.int32(), nullable=False),
+        pa.field("media_ref", pa.string(), nullable=False),
+        pa.field("frame_idx", pa.int32(), nullable=False),
+        pa.field("ts_ms", pa.int32(), nullable=False),
+        pa.field("feature_q", pa.string(), nullable=False),
+    ]
+)
+
+
+def _media_items(sf_dir: str) -> list[tuple[str, int, str, str, bytes]]:
+    """(doc_id, span_pos, kind, media_ref, content) per non-text span —
+    the twin of media_spans → fetch_media_bytes."""
+    from openie_spark.fixtures.gen_docs import docs_interleaved
+    from openie_spark.fixtures.gen_golden import golden_docs
+    from openie_spark.operators.multimodal import _synth_image_ppm
+
+    items = []
+    for d in docs_interleaved(sf_dir) + golden_docs():
+        for pos, s in enumerate(d["spans"]):
+            if s["kind"] == "text":
+                continue
+            ref = s["media_ref"]
+            content = (
+                _synth_image_ppm(ref)
+                if s["kind"] == "image"
+                else hashlib.sha256(ref.encode()).hexdigest().encode()
+            )
+            items.append((d["doc_id"], pos, s["kind"], ref, content))
+    return items
+
+
+def media_feature_rows(sf_dir: str) -> list[dict]:
+    from openie_spark.functions.imagecodec import decode_image, rgb_features
+    from openie_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_audio_stub,
+        _decode_image_stub,
+        _feature_stub,
+        feature_micro,
+    )
+
+    rows = []
+    for doc_id, pos, kind, ref, content in _media_items(sf_dir):
+        width = height = duration = None
+        feature = None
+        if kind == "image":
+            decoded = decode_image(content)
+            if decoded is not None:
+                width, height, rgb = decoded
+                feature = rgb_features(width, height, rgb, FEATURE_DIM)
+            else:
+                width, height = _decode_image_stub(content)
+        elif kind == "audio":
+            duration = _decode_audio_stub(content)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "span_pos": pos,
+                "kind": kind,
+                "media_ref": ref,
+                "n_bytes": len(content),
+                "width": -1 if width is None else width,
+                "height": -1 if height is None else height,
+                "duration_ms": -1 if duration is None else duration,
+                "feature_q": feature_micro(
+                    feature if feature is not None else _feature_stub(content)
+                ),
+            }
+        )
+    return rows
+
+
+def media_thumb_rows(sf_dir: str, max_side: int = 256) -> list[dict]:
+    from openie_spark.functions.imagecodec import (
+        decode_image,
+        encode_ppm,
+        resize_nearest,
+    )
+    from openie_spark.operators.multimodal import _decode_image_stub, _resize_stub
+
+    rows = []
+    for doc_id, pos, kind, ref, content in _media_items(sf_dir):
+        if kind != "image":
+            continue
+        decoded = decode_image(content)
+        if decoded is not None:
+            w, h, rgb = decoded
+            tw, th, trgb = resize_nearest(w, h, rgb, max_side)
+            thumb = encode_ppm(tw, th, trgb)
+        else:
+            w, h = _decode_image_stub(content)
+            tw, th, thumb = _resize_stub(content, max_side)
+        rows.append(
+            {
+                "doc_id": doc_id,
+                "span_pos": pos,
+                "media_ref": ref,
+                "width": w,
+                "height": h,
+                "thumb_w": tw,
+                "thumb_h": th,
+                "thumb_md5": hashlib.md5(thumb).hexdigest(),
+                "thumb_bytes": len(thumb),
+            }
+        )
+    return rows
+
+
+def media_frame_rows(
+    sf_dir: str, every_ms: int = 1000, max_frames: int = 8
+) -> list[dict]:
+    from openie_spark.operators.multimodal import (
+        _decode_audio_stub,
+        _feature_stub,
+        feature_micro,
+    )
+
+    rows = []
+    for doc_id, pos, kind, ref, content in _media_items(sf_dir):
+        if kind not in ("audio", "video"):
+            continue
+        duration = _decode_audio_stub(content)
+        n = min(max_frames, max(1, duration // every_ms))
+        for k in range(int(n)):
+            ts = k * every_ms
+            rows.append(
+                {
+                    "doc_id": doc_id,
+                    "span_pos": pos,
+                    "media_ref": ref,
+                    "frame_idx": k,
+                    "ts_ms": ts,
+                    "feature_q": feature_micro(
+                        _feature_stub(content + ts.to_bytes(4, "big"))
+                    ),
+                }
+            )
+    return rows
+
+
+def media_features_path(sf_dir: str) -> str:
+    name = f"media_twin_features_v1_{Path(sf_dir).name}"
+    return store.ensure(
+        name, lambda p: store.write_rows(media_feature_rows(sf_dir), FEATURES_PA, p)
+    )
+
+
+def media_thumbs_path(sf_dir: str) -> str:
+    name = f"media_twin_thumbs_v1_{Path(sf_dir).name}"
+    return store.ensure(
+        name, lambda p: store.write_rows(media_thumb_rows(sf_dir), THUMBS_PA, p)
+    )
+
+
+def media_frames_path(sf_dir: str) -> str:
+    name = f"media_twin_frames_v1_{Path(sf_dir).name}"
+    return store.ensure(
+        name, lambda p: store.write_rows(media_frame_rows(sf_dir), FRAMES_PA, p)
+    )

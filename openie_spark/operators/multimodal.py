@@ -73,6 +73,33 @@ MEDIA_FEATURES_SCHEMA = StructType(
 FEATURE_DIM = 16
 
 
+def feature_micro_col(col: str):
+    """Engine-portable serialization of a float32 feature vector: each
+    element → micro-quantized bigint (floor(x*1e6 + 0.5) over the exact
+    float32→double widening) → comma-joined string.  SINGLE HOME with the
+    Python twin below — the oracle fixture (gen_media_twin) must serialize
+    identically or the driver hash forks."""
+    return F.concat_ws(
+        ",",
+        F.transform(
+            F.col(col),
+            lambda x: F.floor(x.cast("double") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+        ),
+    )
+
+
+def feature_micro(vals: list[float]) -> str:
+    """Python twin of feature_micro_col: vals are the float32 values the
+    Arrow schema stores (cast exactly as Spark does before widening)."""
+    import math
+
+    return ",".join(
+        str(math.floor(float(np.float32(v)) * 1e6 + 0.5)) for v in vals
+    )
+
+
 def media_spans(docs: DataFrame) -> DataFrame:
     """Explode non-text spans with their array position (posexplode so the
     span-order provenance survives into the feature table)."""

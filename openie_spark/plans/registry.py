@@ -1055,6 +1055,35 @@ def _entity_links_sql() -> str:
     )
 
 
+def _media_features_sql() -> str:
+    from openie_spark.fixtures.gen_media_twin import media_features_path
+
+    return (
+        "SELECT doc_id, span_pos, kind, media_ref, n_bytes, width, height, "
+        "duration_ms, feature_q "
+        f"FROM read_parquet('{media_features_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _media_thumbnails_sql() -> str:
+    from openie_spark.fixtures.gen_media_twin import media_thumbs_path
+
+    return (
+        "SELECT doc_id, span_pos, media_ref, width, height, thumb_w, thumb_h, "
+        "thumb_md5, thumb_bytes "
+        f"FROM read_parquet('{media_thumbs_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _media_frames_sql() -> str:
+    from openie_spark.fixtures.gen_media_twin import media_frames_path
+
+    return (
+        "SELECT doc_id, span_pos, media_ref, frame_idx, ts_ms, feature_q "
+        f"FROM read_parquet('{media_frames_path(ORACLE_SF_DIR)}')"
+    )
+
+
 def _minhash_dedup_sql() -> str:
     """Identity oracle over the pure-Python MinHash-LSH twin fixture
     (gen_dedup_twin): the hash family is seed-frozen, so the 'probabilistic'
@@ -1232,9 +1261,18 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The driver's canonicalizer runs a pandas ``sort_values`` over every
     column, which dies on list cells — so the feature vector is serialized
-    to JSON here (query-level projection; the operator keeps the typed
-    array<float>)."""
-    from openie_spark.operators.multimodal import media_feature_stage
+    to the engine-portable micro-quantized string (feature_micro_col, one
+    home with the twin's Python serializer) and the audio/image-only
+    metadata ints are coalesced to -1 (NULL int32 columns round-trip to
+    pandas as float64 NaN, a dtype hazard the canon should never see).
+    Oracle-checked row-for-row against the single-process media twin
+    (gen_media_twin — same codec kernels, independent of every Spark
+    stage: posexplode provenance, mapInPandas batching, Arrow float32
+    round-trip)."""
+    from openie_spark.operators.multimodal import (
+        feature_micro_col,
+        media_feature_stage,
+    )
 
     feats = media_feature_stage(_docs(spark, sf_dir))
     return feats.select(
@@ -1243,10 +1281,10 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kind",
         "media_ref",
         "n_bytes",
-        "width",
-        "height",
-        "duration_ms",
-        F.to_json("feature").alias("feature_json"),
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        F.coalesce("duration_ms", F.lit(-1)).alias("duration_ms"),
+        feature_micro_col("feature").alias("feature_q"),
     ).orderBy("doc_id", "span_pos")
 
 
@@ -1351,9 +1389,10 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal resize path: image spans → aspect-preserving thumbnail
-    pass (multimodal.py:resize_images; pixel kernel stubbed, Spark
-    plumbing real).  Binary payload projected to md5 + length for the
-    driver canonicalizer."""
+    pass (multimodal.py:resize_images; REAL nearest-neighbor downscale for
+    BMP/PPM, stub for other formats).  Binary payload projected to md5 +
+    length for the driver canonicalizer.  Oracle-checked against the
+    single-process media twin (md5 of the twin's identical PPM bytes)."""
     from openie_spark.operators.multimodal import (
         fetch_media_bytes,
         media_spans,
@@ -1376,8 +1415,11 @@ def q_media_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal frame-sampling path: audio/video spans → uniform frame
-    sample with per-frame features (multimodal.py:sample_frames)."""
+    sample with per-frame features (multimodal.py:sample_frames).
+    Oracle-checked against the single-process media twin; the feature
+    vector serializes via feature_micro_col (one home with the twin)."""
     from openie_spark.operators.multimodal import (
+        feature_micro_col,
         fetch_media_bytes,
         media_spans,
         sample_frames,
@@ -1390,7 +1432,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_ref",
         "frame_idx",
         "ts_ms",
-        F.md5(F.to_json("feature")).alias("feature_md5"),
+        feature_micro_col("feature").alias("feature_q"),
     ).orderBy("doc_id", "span_pos", "frame_idx")
 
 
@@ -3143,4 +3185,7 @@ def build_oracle_sql() -> dict[str, str]:
     out["minhash_dedup_groups"] = _minhash_groups_sql()
     out["simhash_dedup"] = _simhash_dedup_sql()
     out["entity_links"] = _entity_links_sql()
+    out["media_features"] = _media_features_sql()
+    out["media_thumbnails"] = _media_thumbnails_sql()
+    out["media_frames"] = _media_frames_sql()
     return out
