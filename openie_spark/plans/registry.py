@@ -1055,6 +1055,33 @@ def _entity_links_sql() -> str:
     )
 
 
+def _ann_srp_sql() -> str:
+    from openie_spark.fixtures.gen_ann_twin import srp_topk_path
+
+    return (
+        "SELECT query_id, neighbor_id, rank, cosine "
+        f"FROM read_parquet('{srp_topk_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _ann_ivf_sql() -> str:
+    from openie_spark.fixtures.gen_ann_twin import ivf_topk_path
+
+    return (
+        "SELECT query_id, neighbor_id, rank, cosine "
+        f"FROM read_parquet('{ivf_topk_path(ORACLE_SF_DIR)}')"
+    )
+
+
+def _cosine_near_dup_sql() -> str:
+    from openie_spark.fixtures.gen_ann_twin import cosine_near_dup_path
+
+    return (
+        "SELECT id_a, id_b, cosine "
+        f"FROM read_parquet('{cosine_near_dup_path(ORACLE_SF_DIR)}')"
+    )
+
+
 def _media_features_sql() -> str:
     from openie_spark.fixtures.gen_media_twin import media_features_path
 
@@ -1191,7 +1218,10 @@ def q_simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed approximate top-k (similarity.py scale path).
-    Approximate by construction → rows-only; recall gate in
+    Approximate vs brute force but fully deterministic (seed-frozen
+    hyperplanes) → oracle-checked row-for-row against the pure-Python twin
+    (gen_ann_twin; cosine doubles bit-exact — the twin replicates the JVM
+    float32-product/double-accumulate semantics).  Recall gate in
     tests/unit/test_similarity.py."""
     from openie_spark.operators.similarity import srp_topk
 
@@ -1203,9 +1233,10 @@ def q_ann_topk_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) bucketed approximate top-k (similarity.py):
     deterministic seed centroids, nprobe-cell blocking, exact cosine only
-    within probed cells.  Approximate by construction → rows-only; the
-    recall-vs-brute-force gate (and recall ≥ SRP's) is
-    tests/unit/test_similarity.py."""
+    within probed cells.  Approximate vs brute force but deterministic →
+    oracle-checked against the pure-Python twin (gen_ann_twin; the seed
+    selection is replayed via the XXH64 twin).  The recall-vs-brute-force
+    gate (and recall ≥ SRP's) is tests/unit/test_similarity.py."""
     from openie_spark.operators.similarity import ivf_topk
 
     e = load(spark, sf_dir, "embeddings")
@@ -1215,7 +1246,11 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP blocking + exact
-    verify (threshold 0.95) — rows-only (approximate blocking)."""
+    verify (threshold 0.95) — oracle-checked against the pure-Python twin
+    (gen_ann_twin; empty at the driver scale — no planted near-dups in the
+    synthetic embeddings — and the twin agrees from the full pipeline, not
+    a shortcut; the non-empty behavior is gated by the planted-pair tests
+    in tests/unit/test_similarity.py)."""
     from openie_spark.operators.similarity import cosine_near_dup_pairs
 
     e = load(spark, sf_dir, "embeddings")
@@ -3188,4 +3223,7 @@ def build_oracle_sql() -> dict[str, str]:
     out["media_features"] = _media_features_sql()
     out["media_thumbnails"] = _media_thumbnails_sql()
     out["media_frames"] = _media_frames_sql()
+    out["ann_topk_srp"] = _ann_srp_sql()
+    out["ann_topk_ivf"] = _ann_ivf_sql()
+    out["cosine_near_dup"] = _cosine_near_dup_sql()
     return out
