@@ -185,22 +185,27 @@ def cosine_near_dup_rows(sf_dir: str, threshold: float = 0.95) -> list[dict]:
     return rows
 
 
+def _key(tag: str, sf_dir: str) -> str:
+    # content-fingerprinted on the embeddings input (the external,
+    # driver-generated table) so a regenerated testdata set self-invalidates
+    fp = store.file_fingerprint(Path(sf_dir) / "embeddings.parquet")
+    return f"ann_twin_{tag}_v1_{Path(sf_dir).name}_{fp}"
+
+
 def srp_topk_path(sf_dir: str) -> str:
-    name = f"ann_twin_srp_v1_{Path(sf_dir).name}"
     return store.ensure(
-        name, lambda p: store.write_rows(srp_topk_rows(sf_dir), TOPK_PA, p)
+        _key("srp", sf_dir), lambda p: store.write_rows(srp_topk_rows(sf_dir), TOPK_PA, p)
     )
 
 
 def ivf_topk_path(sf_dir: str) -> str:
-    name = f"ann_twin_ivf_v1_{Path(sf_dir).name}"
     return store.ensure(
-        name, lambda p: store.write_rows(ivf_topk_rows(sf_dir), TOPK_PA, p)
+        _key("ivf", sf_dir), lambda p: store.write_rows(ivf_topk_rows(sf_dir), TOPK_PA, p)
     )
 
 
 def cosine_near_dup_path(sf_dir: str) -> str:
-    name = f"ann_twin_neardup_v1_{Path(sf_dir).name}"
     return store.ensure(
-        name, lambda p: store.write_rows(cosine_near_dup_rows(sf_dir), NEARDUP_PA, p)
+        _key("neardup", sf_dir),
+        lambda p: store.write_rows(cosine_near_dup_rows(sf_dir), NEARDUP_PA, p),
     )

@@ -177,25 +177,29 @@ def simhash_pair_rows(sf_dir: str, max_hamming: int | None = None) -> list[dict]
     return rows
 
 
+def _key(tag: str, sf_dir: str) -> str:
+    # content-fingerprinted on the documents input (the external,
+    # driver-generated table) so a regenerated testdata set self-invalidates
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    return f"dedup_twin_{tag}_v1_{Path(sf_dir).name}_{fp}"
+
+
 def minhash_pairs_path(sf_dir: str) -> str:
-    name = f"dedup_twin_minhash_pairs_v1_{Path(sf_dir).name}"
     return store.ensure(
-        name,
+        _key("minhash_pairs", sf_dir),
         lambda p: store.write_rows(minhash_pair_rows(sf_dir), MINHASH_PAIRS_PA, p),
     )
 
 
 def near_dup_groups_path(sf_dir: str) -> str:
-    name = f"dedup_twin_groups_v1_{Path(sf_dir).name}"
     return store.ensure(
-        name,
+        _key("groups", sf_dir),
         lambda p: store.write_rows(near_dup_group_rows(sf_dir), GROUPS_PA, p),
     )
 
 
 def simhash_pairs_path(sf_dir: str) -> str:
-    name = f"dedup_twin_simhash_pairs_v1_{Path(sf_dir).name}"
     return store.ensure(
-        name,
+        _key("simhash_pairs", sf_dir),
         lambda p: store.write_rows(simhash_pair_rows(sf_dir), SIMHASH_PAIRS_PA, p),
     )

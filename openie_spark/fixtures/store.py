@@ -44,6 +44,20 @@ DOC_PA = pa.schema(
 )
 
 
+def file_fingerprint(path: str | Path) -> str:
+    """Short md5 of a file's bytes — cache-key component for fixtures
+    derived from EXTERNAL inputs (the driver-generated testdata parquet),
+    so a regenerated input self-invalidates the fixture instead of
+    silently serving stale rows (the stream_sessions discipline)."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()[:12]
+
+
 def docs_to_table(docs: list[dict]) -> pa.Table:
     return pa.Table.from_pylist(
         [{"doc_id": d["doc_id"], "spans": d["spans"]} for d in docs], schema=DOC_PA
