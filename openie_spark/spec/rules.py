@@ -113,8 +113,10 @@ SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+")
 TOKEN_RE = re.compile(r"[A-Za-z0-9_']+")
 _WS_RE = re.compile(r"\s+")
 
-# POS tags (ints for speed inside the vectorized path)
-NOUN, V, P, D, A, R = 0, 1, 2, 3, 4, 5
+# POS tags (single chars so a sentence's tag sequence packs into one str
+# and the scan loops run as C-level str.find/rfind — hot-path plumbing,
+# NOT a rule change; test_rules_properties pins _TAG_MAP/tag() equality)
+NOUN, V, P, D, A, R = "N", "V", "P", "D", "A", "R"
 _W_SET = frozenset({NOUN, A, R, D})  # ReVerb's W class: nouns/adj/adv/det
 
 
@@ -220,12 +222,12 @@ def _norm_span(lows: list[str], a: int, b: int) -> str:
     return " ".join(lows[a:b])
 
 
-def _np_left(tokens: list[str], tags: list[int], end: int) -> tuple[int, int] | None:
+def _np_left(tokens: list[str], tags: str, end: int) -> tuple[int, int] | None:
     """Nearest NP (DET? ADJ* NOUN+) whose head NOUN is the nearest NOUN at
-    index <= end.  Returns (start, stop) token slice or None."""
-    h = end
-    while h >= 0 and tags[h] != NOUN:
-        h -= 1
+    index <= end.  Returns (start, stop) token slice or None.  The NOUN
+    search is a C-level str.rfind over the packed tag string; the short
+    DET?/ADJ*/NOUN+ extensions stay as loops (NP prefixes are tiny)."""
+    h = tags.rfind(NOUN, 0, end + 1)
     if h < 0:
         return None
     s = h
@@ -239,15 +241,13 @@ def _np_left(tokens: list[str], tags: list[int], end: int) -> tuple[int, int] | 
 
 
 def _np_right(
-    tokens: list[str], tags: list[int], start: int
+    tokens: list[str], tags: str, start: int
 ) -> tuple[int, int] | None:
     """First NP (DET? ADJ* NOUN+) whose head NOUN is at index >= start; the
     DET/ADJ prefix may not reach left of ``start``."""
     n = len(tokens)
-    h = start
-    while h < n and tags[h] != NOUN:
-        h += 1
-    if h >= n:
+    h = tags.find(NOUN, start)
+    if h < 0:
         return None
     s = h
     while s - 1 >= start and tags[s - 1] == A:
@@ -313,6 +313,28 @@ def _np_arcs(
     """v3 NP-internal arcs: det/amod/advmod/compound to the segment head;
     cc/conj across coordination segments (conj from the FIRST segment's
     head, UD convention)."""
+    if not has_conj:
+        # fast path (hot-path plumbing, NOT a rule change): without a
+        # conjunction in the sentence there is exactly one segment whose
+        # head is the span's rightmost NOUN, and no token is in CONJ_SET —
+        # identical arcs to the general path below, minus the segment
+        # machinery.  Pinned by the same bit-identity tests.
+        s, e = span
+        h = e - 1  # rightmost NOUN: both NP builders end spans on the head
+        append = arcs.append
+        for j in range(s, e):
+            if j == h:
+                continue
+            tj = tags[j]
+            if tj == D:
+                append(f"det({h},{j})")
+            elif tj == A:
+                append(f"amod({h},{j})")
+            elif tj == R:
+                append(f"advmod({h},{j})")
+            else:
+                append(f"compound({h},{j})")
+        return
     segs = _conjunct_spans(lows, tags, span, has_conj)
     first_head = _seg_head(lows, tags, segs[0])
     for k, seg in enumerate(segs):
@@ -401,6 +423,50 @@ def _clause_arcs(
     return arcs, clause_type
 
 
+# Hot-path plumbing (same license as _NORM_CACHE — NOT a rule change):
+# for a conjunction-free sentence the assembled arc list and clause type
+# depend ONLY on the tag pattern, the clause positions, and whether the
+# V+ run is all-copula (the sole word-sensitive input) — never on the
+# words themselves.  Tag patterns repeat Zipf-fashion across a corpus, so
+# a capped memo turns the whole f-string assembly into one dict hit.
+# Bit-identity with the uncached path is pinned by the same golden/v2/v3
+# tests that froze the rule set.
+_ARC_CACHE: dict[tuple, tuple[str, str]] = {}
+_ARC_CACHE_MAX = 1 << 16
+
+
+def _clause_deps(
+    lows: list[str],
+    tags: str,
+    i: int,
+    v_end: int,
+    rel_end: int,
+    last_p: int,
+    subj_span: tuple[int, int],
+    arg_span: tuple[int, int] | None,
+    has_conj: bool,
+) -> tuple[str, str]:
+    """Memoizing front-end of _clause_arcs: returns ('|'-joined deps,
+    clause_type).  Conjunction-bearing sentences bypass the memo (their
+    arcs depend on CONJ token positions in ``lows``)."""
+    if has_conj:
+        arcs, ct = _clause_arcs(
+            lows, tags, i, v_end, rel_end, last_p, subj_span, arg_span, True
+        )
+        return "|".join(arcs), ct
+    all_cop = all(lows[j] in COPULA_SET for j in range(i, v_end + 1))
+    key = (tags, i, v_end, rel_end, last_p, subj_span, arg_span, all_cop)
+    hit = _ARC_CACHE.get(key)
+    if hit is None:
+        arcs, ct = _clause_arcs(
+            lows, tags, i, v_end, rel_end, last_p, subj_span, arg_span, False
+        )
+        hit = ("|".join(arcs), ct)
+        if len(_ARC_CACHE) < _ARC_CACHE_MAX:
+            _ARC_CACHE[key] = hit
+    return hit
+
+
 def _type_from_arcs(arcs: list[str]) -> str:
     """v3 dependency-pattern clause typing: the arc labels ARE the type."""
     labels = {a.split("(", 1)[0] for a in arcs}
@@ -426,30 +492,27 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
     # conjunction-free sentences skip all v3 splitting machinery
     lows = list(map(str.lower, tokens))
     _tg = _TAG_MAP.get
-    tags = [_tg(t, NOUN) for t in lows]
+    # tag sequence packed into ONE str: the verb-run / zone / NP-head scans
+    # below run as C-level str.find/rfind instead of per-token Python steps
+    # (hot-path plumbing, NOT a rule change — same tags, same boundaries)
+    tags = "".join([_tg(t, NOUN) for t in lows])
     has_conj = not CONJ_SET.isdisjoint(lows)
     n = len(tokens)
     out: list[Triple] = []
     i = 0
-    while i < n:
-        if tags[i] != V:
-            i += 1
-            continue
+    while True:
+        i = tags.find(V, i)  # leftmost untried verb
+        if i < 0:
+            break
         # maximal V+ run
         v_end = i
         while v_end + 1 < n and tags[v_end + 1] == V:
             v_end += 1
-        # leftmost-longest extension: W* ending at the LAST reachable PREP
-        rel_end = v_end
-        j = v_end + 1
-        last_p = -1
-        # _W_SET ∪ {P} is every tag except V, so the zone test is != V
-        while j < n and tags[j] != V:
-            if tags[j] == P:
-                last_p = j
-            j += 1
-        if last_p >= 0:
-            rel_end = last_p
+        # leftmost-longest extension: W* ending at the LAST reachable PREP;
+        # _W_SET ∪ {P} is every tag except V, so the zone ends at the next V
+        nxt_v = tags.find(V, v_end + 1)
+        last_p = tags.rfind(P, v_end + 1, nxt_v if nxt_v >= 0 else n)
+        rel_end = last_p if last_p >= 0 else v_end
         subj_span = _np_left(tokens, tags, i - 1)
         arg_span = _np_right(tokens, tags, rel_end + 1)
         if subj_span is None:
@@ -457,10 +520,9 @@ def extract_sentence(sentence: str, sent_idx: int) -> list[Triple]:
             continue
         subj = " ".join(tokens[subj_span[0] : subj_span[1]])
         rel = " ".join(tokens[i : rel_end + 1])
-        arcs, clause_type = _clause_arcs(
+        deps, clause_type = _clause_deps(
             lows, tags, i, v_end, rel_end, last_p, subj_span, arg_span, has_conj
         )
-        deps = "|".join(arcs)
         subj_segs = _conjunct_spans(lows, tags, subj_span, has_conj)
         if arg_span is None:
             # SV emission (v2): intransitive clause.  Resume point is
