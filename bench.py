@@ -60,6 +60,17 @@ def warm_host_memory(gb: int = 12, budget_s: float = 60.0) -> float:
     # straight back to the next allocation, so an alloc/free loop mostly
     # re-touches one hot chunk instead of faulting `gb` of distinct
     # hypervisor-cold frames.
+    # Cap by MemAvailable/2 so holding the chunks live can't push the box
+    # (this process + the 8g driver JVM + page cache) into swap/OOM.
+    try:
+        avail_kb = next(
+            int(l.split()[1])
+            for l in open("/proc/meminfo")
+            if l.startswith("MemAvailable:")
+        )
+        gb = max(1, min(gb, int(avail_kb / 1024 / 1024 / 2)))
+    except (OSError, StopIteration):
+        pass
     chunk = 64 * 1024 * 1024
     live: list[bytearray] = []
     touched = 0

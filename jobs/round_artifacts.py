@@ -97,6 +97,7 @@ def main() -> int:
     ap.add_argument("--out-dir", default=str(REPO))
     args = ap.parse_args()
     out_dir = Path(args.out_dir)
+    fails: list[str] = []  # stays empty under --bench-only
 
     from host_probe import probe
 

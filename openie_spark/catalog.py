@@ -190,6 +190,12 @@ class ParquetCatalog:
         if any(t.name == name for t in self.spark.catalog.listTables()):
             self.spark.sql(f"DROP TABLE IF EXISTS `{name}`")
         shutil.rmtree(self._path(name), ignore_errors=True)
+        # Also remove compact()'s staging siblings: a stranded
+        # <name>__precompact would otherwise be "restored" by
+        # _recover_compact on the next exists()/load_table(), resurrecting
+        # a table the caller just deleted.
+        shutil.rmtree(self._path(name) + "__precompact", ignore_errors=True)
+        shutil.rmtree(self._path(name) + "__compacting", ignore_errors=True)
 
 
 class IcebergCatalog:

@@ -60,7 +60,9 @@ def entity_link_rows(sf_dir: str) -> list[dict]:
 def entity_links_path(sf_dir: str) -> str:
     from openie_spark.spec import rules
 
-    name = f"linking_twin_{rules.RULESET_VERSION}_v1_{Path(sf_dir).name}"
+    # content-fingerprint the external input (dedup/ANN twin discipline)
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"linking_twin_{rules.RULESET_VERSION}_v1_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name,
         lambda p: store.write_rows(entity_link_rows(sf_dir), LINKS_PA, p),

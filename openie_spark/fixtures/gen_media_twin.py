@@ -197,21 +197,24 @@ def media_frame_rows(
 
 
 def media_features_path(sf_dir: str) -> str:
-    name = f"media_twin_features_v1_{Path(sf_dir).name}"
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"media_twin_features_v1_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_feature_rows(sf_dir), FEATURES_PA, p)
     )
 
 
 def media_thumbs_path(sf_dir: str) -> str:
-    name = f"media_twin_thumbs_v1_{Path(sf_dir).name}"
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"media_twin_thumbs_v1_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_thumb_rows(sf_dir), THUMBS_PA, p)
     )
 
 
 def media_frames_path(sf_dir: str) -> str:
-    name = f"media_twin_frames_v1_{Path(sf_dir).name}"
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"media_twin_frames_v1_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_frame_rows(sf_dir), FRAMES_PA, p)
     )

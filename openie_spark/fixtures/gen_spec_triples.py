@@ -61,8 +61,11 @@ def spec_triples_path(sf_dir: str) -> str:
     from openie_spark.spec import rules
 
     # 'full' tags the schema revision (all TRIPLE_STRUCT columns); the old
-    # 5-column fixtures self-retire under the previous name.
-    name = f"spec_triples_{rules.RULESET_VERSION}_full_{Path(sf_dir).name}"
+    # 5-column fixtures self-retire under the previous name.  The content
+    # fingerprint of the EXTERNAL input makes a regenerated testdata dir
+    # self-invalidate (same discipline as the dedup/ANN twins).
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"spec_triples_{rules.RULESET_VERSION}_full_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name,
         lambda p: store.write_rows(spec_triples_rows(sf_dir), TRIPLES_PA, p),

@@ -85,64 +85,28 @@ def latest_checkpoint(cat: ParquetCatalog) -> DataFrame | None:
     return ck.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
-def done_partitions(
-    cat: ParquetCatalog, run_id: str, stage: str, fingerprint: str
-) -> DataFrame | None:
+def collect_run_state(cat: ParquetCatalog, run_id: str) -> set[tuple]:
+    """ONE checkpoint read per pipeline run: the LATEST 'done'
+    (stage, partition_id, input_fingerprint, ruleset) tuple per
+    (stage, partition_id) for this run_id, collected to the driver.
+
+    Latest-wins matters even though only 'done' rows are ever appended
+    (record_done): a partition recomputed under fingerprint B OVERWROTE
+    the stage output written under A, so an older (stage, pid, A) row no
+    longer describes what is on disk.  If the input later reverts to A,
+    presence semantics would skip recompute and leave B's rows live —
+    latest-wins sees B as the current verdict and forces the recompute.
+    The result is bounded by #stages × (n_buckets+1) tuples regardless of
+    how many times the run was resumed.  Replaces the ~5 per-stage
+    control-flow Spark jobs (resume read + three stage-done reads) a run
+    otherwise pays — on a 1000-executor cluster those are scheduler
+    round-trips spent deciding whether to do work, not doing it."""
     ck = latest_checkpoint(cat)
     if ck is None:
-        return None
-    return ck.where(
-        (F.col("run_id") == run_id)
-        & (F.col("stage") == stage)
-        & (F.col("status") == "done")
-        & (F.col("input_fingerprint") == fingerprint)
-        & (F.col("ruleset") == RULESET_VERSION)
-    ).select("partition_id")
-
-
-def resume_filter(
-    docs_with_pid: DataFrame, cat: ParquetCatalog, run_id: str, stage: str, fingerprint: str
-) -> DataFrame:
-    """OP-06: left-anti join dropping partitions already done."""
-    done = done_partitions(cat, run_id, stage, fingerprint)
-    if done is None:
-        return docs_with_pid
-    return docs_with_pid.join(F.broadcast(done), "partition_id", "left_anti")
-
-
-def stage_done(
-    cat: ParquetCatalog, run_id: str, stage: str, fingerprint: str
-) -> bool:
-    """True when a stage-level 'done' row (sentinel partition) exists for
-    this exact (run_id, stage, input_fingerprint, ruleset)."""
-    done = done_partitions(cat, run_id, stage, fingerprint)
-    if done is None:
-        return False
-    return (
-        done.where(F.col("partition_id") == STAGE_SENTINEL_PID).limit(1).count()
-        > 0
-    )
-
-
-def collect_run_state(cat: ParquetCatalog, run_id: str) -> set[tuple]:
-    """ONE checkpoint read per pipeline run: every 'done'
-    (stage, partition_id, input_fingerprint, ruleset) tuple for this
-    run_id, collected to the driver.
-
-    Only 'done' rows are ever appended (record_done), so presence IS the
-    latest-wins verdict; the result is bounded by #stages × (n_buckets+1)
-    distinct tuples regardless of how many times the run was resumed.
-    Replaces the ~5 per-stage control-flow Spark jobs (resume read +
-    three stage_done reads) a run otherwise pays — on a 1000-executor
-    cluster those are scheduler round-trips spent deciding whether to do
-    work, not doing it."""
-    if not cat.exists(CHECKPOINT_TABLE):
         return set()
     rows = (
-        cat.load_table(CHECKPOINT_TABLE)
-        .where((F.col("run_id") == run_id) & (F.col("status") == "done"))
+        ck.where((F.col("run_id") == run_id) & (F.col("status") == "done"))
         .select("stage", "partition_id", "input_fingerprint", "ruleset")
-        .distinct()
         .collect()
     )
     return {
@@ -152,7 +116,8 @@ def collect_run_state(cat: ParquetCatalog, run_id: str) -> set[tuple]:
 
 
 def done_pids(state: set[tuple], stage: str, fingerprint: str) -> set[int]:
-    """Driver-side twin of done_partitions over a collected run state."""
+    """Partitions whose LATEST checkpoint row matches this exact
+    (stage, input_fingerprint, ruleset) — the driver-side resume gate."""
     return {
         pid
         for (s, pid, fp, rs) in state

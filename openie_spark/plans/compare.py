@@ -43,8 +43,12 @@ def tagged(v):
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
     if isinstance(v, (float, np.floating)):
+        # BIT-exact: the driver hashes serialized full-precision values, so
+        # rounding here would pass a <1e-6 fork locally that the driver
+        # fails.  float.hex() round-trips every double exactly (and keeps
+        # -0.0 distinct from 0.0, like any serialized form).
         fv = float(v)
-        return ("f", "nan") if math.isnan(fv) else ("f", round(fv, 6))
+        return ("f", "nan") if math.isnan(fv) else ("f", fv.hex())
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     if isinstance(v, bytes):

@@ -36,7 +36,8 @@ from openie_spark.sources.tables import load, load_docs
 def interleaved_docs_path(sf_dir: str) -> str:
     """Deterministically derive + cache the input_hint-shaped docs table for
     a driver sf directory (FIXTURES.md §2)."""
-    name = f"docs_interleaved_{Path(sf_dir).name}"
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"docs_interleaved_{Path(sf_dir).name}_{fp}"
     return store.ensure(name, lambda p: store.write_docs(docs_interleaved(sf_dir), p))
 
 

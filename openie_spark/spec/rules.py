@@ -144,7 +144,7 @@ def tokenize(sentence: str) -> list[str]:
     return TOKEN_RE.findall(sentence)
 
 
-def tag(token: str) -> int:
+def tag(token: str) -> str:
     t = token.lower()
     if t in VERB_SET:
         return V
@@ -262,7 +262,7 @@ def _np_right(
 
 def _conjunct_spans(
     lows: list[str],
-    tags: list[int],
+    tags: str,
     span: tuple[int, int],
     has_conj: bool = True,
 ) -> list[tuple[int, int]]:
@@ -294,7 +294,7 @@ def _conjunct_spans(
     return segs
 
 
-def _seg_head(lows: list[str], tags: list[int], seg: tuple[int, int]) -> int:
+def _seg_head(lows: list[str], tags: str, seg: tuple[int, int]) -> int:
     """Head of an NP (segment): its RIGHTMOST non-conjunction NOUN (UD
     compound convention)."""
     for j in range(seg[1] - 1, seg[0] - 1, -1):
@@ -305,7 +305,7 @@ def _seg_head(lows: list[str], tags: list[int], seg: tuple[int, int]) -> int:
 
 def _np_arcs(
     lows: list[str],
-    tags: list[int],
+    tags: str,
     span: tuple[int, int],
     arcs: list[str],
     has_conj: bool,
@@ -358,7 +358,7 @@ def _np_arcs(
 
 def _clause_arcs(
     lows: list[str],
-    tags: list[int],
+    tags: str,
     i: int,
     v_end: int,
     rel_end: int,

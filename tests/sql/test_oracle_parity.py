@@ -85,6 +85,20 @@ def test_canon_is_dtype_strict():
     assert _canon(bools) != _canon(zeroone)
 
 
+def test_canon_floats_are_bit_exact():
+    """Regression: the canon must hash floats at FULL precision — a
+    <1e-6 fork (e.g. a reassociated float reduction) must fail locally
+    exactly as the driver's serialized value hash would."""
+    a = pd.DataFrame({"v": np.array([1.0, 2.5], dtype="float64")})
+    b = pd.DataFrame({"v": np.array([1.0 + 1e-9, 2.5], dtype="float64")})
+    assert _canon(a) != _canon(b)
+    assert _canon(a) == _canon(a.copy())
+    # sign of zero is part of the serialized form
+    z = pd.DataFrame({"v": np.array([0.0], dtype="float64")})
+    nz = pd.DataFrame({"v": np.array([-0.0], dtype="float64")})
+    assert _canon(z) != _canon(nz)
+
+
 def test_rows_only_queries(spark):
     """Queries without oracle SQL must still run, return a stable schema,
     AND survive the driver's list-intolerant canonicalizer (replicated by

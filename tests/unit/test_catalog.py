@@ -105,3 +105,18 @@ def test_stale_precompact_next_to_live_table_is_cleaned(spark, tmp_path):
     assert cat.exists("t")
     assert _rows(cat.load_table("t")) == [(1,)]
     assert not stale.exists()
+
+
+def test_drop_table_removes_stranded_compaction_siblings(spark, tmp_path):
+    """drop_table must also delete __precompact/__compacting siblings —
+    otherwise the next read-path _recover_compact would rename a stranded
+    __precompact back into place, resurrecting the dropped table."""
+    cat = ParquetCatalog(spark, str(tmp_path))
+    cat.write_table(spark.range(100).selectExpr("id", "id * 2 AS v"), "t")
+    _simulate_crash_mid_swap(tmp_path, "t")  # t gone, t__precompact live
+
+    cat.drop_table("t")
+    assert not (tmp_path / "t__precompact").exists()
+    assert not (tmp_path / "t__compacting").exists()
+    assert not cat.exists("t")  # no resurrection on the read path
+    assert not (tmp_path / "t").exists()
