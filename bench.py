@@ -258,8 +258,11 @@ def main() -> int:
     )
     # Back in the headline as of r4: the degree-capped, dict-encoded,
     # single-(h,t)-shuffle plan (operators/rules.py) took this from 145 s
-    # (r3, degraded window) / 68 s (clean, naive plan) to ~10 s on the
-    # same 25M-path composition.
+    # (r3, degraded window) / 68 s (clean, naive plan) to ~13-15 s on the
+    # 18.5M-path composition (measured decomposition: join 2 s, the one
+    # 18M-row (h,t) exchange + dedup ~8 s, support join + aggs ~4 s —
+    # dedup factor is 1.06, so map-side partial dedup cannot shrink the
+    # exchange; the remaining weight is inherent to exact body counting).
     timed(
         "rule_support",
         lambda: force(registry.q_rule_support(spark, sf_dir)),

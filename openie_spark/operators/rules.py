@@ -18,8 +18,11 @@ operator's declared semantics and the DuckDB twin applies the same
 constant, so results stay bit-exact.  Coverage is observable via
 ``hot_mid_entities`` for callers that want to log exclusions.
 
-Remaining shape, engineered for the 20M+ path rows even a capped
-composition legitimately produces (measured sf0.1: 68 s naive → ~10 s):
+Remaining shape, engineered for the ~18.5M path rows even a capped
+composition legitimately produces (measured sf0.1: 68 s naive → ~13-15 s;
+the residual is the one 18M-row (h,t) exchange + exact dedup — the
+dedup factor is 1.06, so map-side partial dedup cannot shrink it, and
+exact body counting admits no smaller shuffle):
 
   - the edge set is **materialized once** (localCheckpoint) — it feeds
     five consumers (two degree aggs, e1, e2, heads) and Spark has no
