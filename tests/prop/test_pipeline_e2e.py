@@ -281,9 +281,10 @@ def test_chaos_mid_link_partial_write_converges(
     spark, golden_docs_path, alias_dict_path, tmp_path
 ):
     """Chaos gate, stage-level twin: a crash MID-link leaves a partial
-    links table WITHOUT its sentinel row.  stage_done requires sentinel
-    AND table, so resume recomputes link (full overwrite replaces the
-    partial table) and downstream output is byte-identical."""
+    links table WITHOUT its sentinel row.  The stage gate (done_pids over
+    the run state) requires the sentinel AND the table, so resume
+    recomputes link (full overwrite replaces the partial table) and
+    downstream output is byte-identical."""
     cat_full = ParquetCatalog(spark, str(tmp_path / "full"))
     cat_chaos = ParquetCatalog(spark, str(tmp_path / "chaos"))
     docs = load_docs(spark, golden_docs_path)
