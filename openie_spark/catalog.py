@@ -184,6 +184,17 @@ class ParquetCatalog:
         shutil.rmtree(old, ignore_errors=True)
         return len(list(src.glob("**/*.parquet")))
 
+    def drop_partitions(self, name: str, part_col: str, values: list) -> None:
+        """Remove whole hive partitions (``<col>=<val>`` dirs) — the
+        parquet twin of Iceberg's ``DELETE WHERE part_col IN (...)``.
+        Used by incremental resume to purge buckets whose input vanished;
+        missing dirs are ignored (idempotent)."""
+        import shutil
+
+        root = Path(self._path(name))
+        for v in values:
+            shutil.rmtree(root / f"{part_col}={v}", ignore_errors=True)
+
     def drop_table(self, name: str) -> None:
         import shutil
 
@@ -225,6 +236,14 @@ class IcebergCatalog:
 
     def append_table(self, df: DataFrame, name: str) -> None:
         df.writeTo(self._tbl(name)).append()
+
+    def drop_partitions(self, name: str, part_col: str, values: list) -> None:
+        """Transactional partition purge (incremental-resume twin of
+        ParquetCatalog.drop_partitions)."""
+        vals = ", ".join(str(int(v)) for v in values)
+        self.spark.sql(
+            f"DELETE FROM {self._tbl(name)} WHERE {part_col} IN ({vals})"
+        )
 
     def merge_checkpoint(self, df: DataFrame, name: str) -> None:
         df.createOrReplaceTempView("_ckpt_updates")

@@ -15,9 +15,14 @@ Design (format-agnostic through the catalog seam):
     input_fingerprint, ruleset, wall_ms, ts).  Parquet mode emulates MERGE
     with append + read-side latest-wins (row_number over ts desc); Iceberg
     mode uses a real MERGE INTO (catalog.py);
-  - resume (OP-06) anti-joins the input against partitions already 'done'
-    for this (run_id, stage, input_fingerprint, ruleset) — a mismatched
-    fingerprint or ruleset invalidates prior work and forces recompute.
+  - resume (OP-06) drops partitions already 'done' for this (run_id,
+    stage, ruleset) whose LATEST row's fingerprint equals the partition's
+    OWN current fingerprint (partition_fingerprints) — INCREMENTAL: a
+    delta append/modify invalidates exactly the buckets it touched, a
+    vanished bucket is purged + neutralized (record_dropped), and a
+    ruleset bump invalidates everything.  The run-global fingerprint that
+    chains into the downstream stage gates derives from the per-bucket
+    sums (global_fingerprint) — one scan serves both.
 """
 
 from __future__ import annotations
@@ -61,6 +66,39 @@ def input_fingerprint(docs: DataFrame) -> str:
         ).alias("h"),
     ).collect()[0]
     return f"{row['n']}:{row['h']}"
+
+
+def partition_fingerprints(docs_with_pid: DataFrame) -> dict[int, str]:
+    """Per-bucket order-insensitive exact fingerprints in ONE scan
+    (bounded: one row per bucket).  The incremental-resume primitive: a
+    delta append/modify changes exactly the fingerprints of the buckets
+    it touches, so ``done_pids_by_fp`` re-extracts only those — at the
+    100 TB posture you never re-extract the corpus because a shard of new
+    documents arrived.  The run-global fingerprint (downstream stage
+    chain) derives from these sums via ``global_fingerprint`` — no second
+    scan."""
+    rows = (
+        docs_with_pid.groupBy("partition_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64("doc_id", span_fingerprint_col()).cast("decimal(38,0)")
+            ).alias("h"),
+        )
+        .collect()
+    )
+    return {int(r["partition_id"]): f"{int(r['n'])}:{int(r['h'])}" for r in rows}
+
+
+def global_fingerprint(pid_fps: dict[int, str]) -> str:
+    """Derive the whole-input fingerprint from the per-bucket ones —
+    identical to ``input_fingerprint`` on the same docs (count and hash
+    sums are associative), so the downstream link/canonicalize/
+    materialize fingerprint chain is unchanged by incremental gating."""
+    if not pid_fps:
+        return "0:None"  # input_fingerprint's empty-input form (SUM -> NULL)
+    parts = [v.split(":") for v in pid_fps.values()]
+    return f"{sum(int(n) for n, _ in parts)}:{sum(int(h) for _, h in parts)}"
 
 
 def table_fingerprint(df: DataFrame, cols: list[str] | None = None) -> str:
@@ -125,6 +163,20 @@ def done_pids(state: set[tuple], stage: str, fingerprint: str) -> set[int]:
     }
 
 
+def done_pids_by_fp(
+    state: set[tuple], stage: str, pid_fps: dict[int, str]
+) -> set[int]:
+    """Incremental form of ``done_pids``: a partition gates only when its
+    LATEST row's fingerprint equals ITS OWN current per-bucket
+    fingerprint — buckets a delta touched fingerprint differently and
+    recompute; untouched buckets skip."""
+    return {
+        pid
+        for (s, pid, fp, rs) in state
+        if s == stage and rs == RULESET_VERSION and pid_fps.get(pid) == fp
+    }
+
+
 def record_stage_done(
     cat: ParquetCatalog,
     run_id: str,
@@ -154,7 +206,15 @@ def record_done(
     wall_ms: int,
 ) -> None:
     """Append one 'done' row per partition.  part_stats:
-    DataFrame[partition_id:int, n_in:long, n_triples:long]."""
+    DataFrame[partition_id:int, n_in:long, n_triples:long] and optionally
+    an ``input_fingerprint`` column — when present it carries each
+    bucket's OWN fingerprint (incremental resume) and the ``fingerprint``
+    argument is ignored for those rows."""
+    fp_col = (
+        F.col("input_fingerprint")
+        if "input_fingerprint" in part_stats.columns
+        else F.lit(fingerprint)
+    )
     rows = part_stats.select(
         F.lit(run_id).alias("run_id"),
         F.lit(stage).alias("stage"),
@@ -162,9 +222,35 @@ def record_done(
         F.lit("done").alias("status"),
         F.col("n_in").cast("long"),
         F.col("n_triples").cast("long"),
-        F.lit(fingerprint).alias("input_fingerprint"),
+        fp_col.alias("input_fingerprint"),
         F.lit(RULESET_VERSION).alias("ruleset"),
         F.lit(int(wall_ms)).alias("wall_ms"),
+        F.current_timestamp().alias("ts"),
+    )
+    cat.append_table(rows, CHECKPOINT_TABLE)
+
+
+def record_dropped(
+    cat: ParquetCatalog, run_id: str, stage: str, pids: list[int]
+) -> None:
+    """Neutralize 'done' rows for buckets whose input vanished from the
+    run's docs: one 'dropped' row per bucket becomes the LATEST verdict
+    (collect_run_state keeps only status='done' after latest-wins), so if
+    identical content later reappears in the bucket it recomputes — its
+    data partition was deleted alongside this marker."""
+    spark = cat.spark
+    rows = spark.createDataFrame(
+        [(int(p),) for p in pids], "partition_id int"
+    ).select(
+        F.lit(run_id).alias("run_id"),
+        F.lit(stage).alias("stage"),
+        F.col("partition_id").cast("int"),
+        F.lit("dropped").alias("status"),
+        F.lit(-1).cast("long").alias("n_in"),
+        F.lit(-1).cast("long").alias("n_triples"),
+        F.lit("").alias("input_fingerprint"),
+        F.lit(RULESET_VERSION).alias("ruleset"),
+        F.lit(int(0)).alias("wall_ms"),
         F.current_timestamp().alias("ts"),
     )
     cat.append_table(rows, CHECKPOINT_TABLE)

@@ -102,9 +102,16 @@ def run_pipeline(
     # writes: extract's resume set is read pre-write, and each stage_done
     # is evaluated before that stage records anything).
     ck_state = ckpt.collect_run_state(cat, cfg.run_id)
-    fingerprint = ckpt.input_fingerprint(docs)
     with_pid = ckpt.with_partition_id(docs, cfg.n_buckets)
-    done = ckpt.done_pids(ck_state, "extract", fingerprint)
+    # Incremental resume: per-bucket fingerprints in ONE scan (the global
+    # fingerprint for the downstream stage chain derives from their sums,
+    # identical to a whole-input fingerprint).  A delta append/modify
+    # changes only the touched buckets' fingerprints, so only those
+    # re-extract — appending 1 TB to a 100 TB corpus costs ~1 TB of
+    # extraction, not 100.
+    pid_fps = ckpt.partition_fingerprints(with_pid)
+    fingerprint = ckpt.global_fingerprint(pid_fps)
+    done = ckpt.done_pids_by_fp(ck_state, "extract", pid_fps)
     todo = (
         with_pid.where(~F.col("partition_id").isin(sorted(done)))
         if done
@@ -149,6 +156,9 @@ def run_pipeline(
             # per-partition metrics from the WRITTEN table — recomputing
             # `triples` here would re-run the whole extraction UDF a second
             # time (DataFrame actions do not reuse shuffle/UDF work)
+            fp_df = spark.createDataFrame(
+                sorted(pid_fps.items()), "partition_id int, input_fingerprint string"
+            )
             stats = (
                 with_pid.groupBy("partition_id")
                 .agg(F.count("*").alias("n_in"))
@@ -159,16 +169,36 @@ def run_pipeline(
                     "partition_id",
                     "left",
                 )
+                .join(F.broadcast(fp_df), "partition_id")
                 .select(
                     "partition_id",
                     "n_in",
                     F.coalesce("n_triples", F.lit(0)).alias("n_triples"),
+                    "input_fingerprint",  # per-bucket fp -> incremental gate
                 )
             )
     if pending > 0:
         ckpt.record_done(
             cat, cfg.run_id, "extract", fingerprint, stats, t_extract.wall_ms
         )
+    # Buckets this run's checkpoint marks done but whose docs VANISHED from
+    # the input: purge their data partitions and neutralize the 'done' rows
+    # (a 'dropped' marker becomes the latest verdict), so the output never
+    # serves triples for retired documents and an identical re-appearance
+    # recomputes.  Bounded driver-side set arithmetic; no extra scan.
+    stale = sorted(
+        {
+            pid
+            for (s, pid, _fp, _rs) in ck_state
+            if s == "extract" and pid != ckpt.STAGE_SENTINEL_PID
+        }
+        - set(pid_fps)
+    )
+    if stale:
+        if cat.exists("triples"):
+            cat.drop_partitions("triples", "partition_id", stale)
+        ckpt.record_dropped(cat, cfg.run_id, "extract", stale)
+    out["extract_stale_partitions"] = len(stale)
     triples = cat.load_table("triples").drop("partition_id")
     if cfg.collect_counts:
         out["n_triples"] = triples.count()

@@ -204,8 +204,10 @@ def test_partial_resume_only_missing_partitions(
     full = sorted(map(tuple, cat_full.load_table("triples").drop("partition_id").collect()))
 
     # interrupted run: process only partitions 0..31 of 64, record them done
-    fp = ckpt.input_fingerprint(docs)
+    # under their PER-BUCKET fingerprints (the incremental gate compares
+    # each bucket's own fp, not the run-global one)
     with_pid = ckpt.with_partition_id(docs, 64)
+    pid_fps = ckpt.partition_fingerprints(with_pid)
     first_half = with_pid.where(F.col("partition_id") < 32)
     from openie_spark.operators.extract import extract_stage
 
@@ -213,10 +215,22 @@ def test_partial_resume_only_missing_partitions(
         "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
     )
     cat_part.write_table(half_triples, "triples", partition_by=["partition_id"])
-    stats = first_half.groupBy("partition_id").agg(F.count("*").alias("n_in")).select(
-        "partition_id", "n_in", F.lit(0).cast("long").alias("n_triples")
+    fp_df = spark.createDataFrame(
+        sorted((p, f) for p, f in pid_fps.items() if p < 32),
+        "partition_id int, input_fingerprint string",
     )
-    ckpt.record_done(cat_part, "v", "extract", fp, stats, 0)
+    stats = (
+        first_half.groupBy("partition_id")
+        .agg(F.count("*").alias("n_in"))
+        .join(fp_df, "partition_id")
+        .select(
+            "partition_id",
+            "n_in",
+            F.lit(0).cast("long").alias("n_triples"),
+            "input_fingerprint",
+        )
+    )
+    ckpt.record_done(cat_part, "v", "extract", "unused-per-row-fps", stats, 0)
 
     res = run_pipeline(
         spark, docs, aliases, cat_part, PipelineConfig(run_id="v", stages=("extract",))
@@ -385,3 +399,86 @@ def test_clustered_extract_plan_bit_identical(
     )
     c = sorted(map(tuple, cat_auto.load_table("triples").collect()))
     assert c == a
+
+
+def test_incremental_delta_append_recomputes_only_touched_buckets(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """Incremental resume: after a full run, appending docs that land in a
+    few buckets re-extracts ONLY those buckets' docs, and the resulting
+    triples are byte-identical to a from-scratch run on the full corpus."""
+    from openie_spark.plans import checkpoint as ckpt
+
+    cat = ParquetCatalog(spark, str(tmp_path / "inc"))
+    cat_full = ParquetCatalog(spark, str(tmp_path / "full"))
+    docs_all = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+
+    # delta = every doc hashing into buckets {0,1,2} of 64 — confined by
+    # construction, so the expected recompute set is exactly those buckets
+    pid = F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+    old = docs_all.where(pid >= 3)
+    r1 = run_pipeline(
+        spark, old, aliases, cat, PipelineConfig(run_id="inc", stages=("extract",))
+    )
+    assert r1["extract_pending_docs"] == old.count()
+
+    n_delta = docs_all.where(pid < 3).count()
+    assert 0 < n_delta < docs_all.count()
+    r2 = run_pipeline(
+        spark, docs_all, aliases, cat, PipelineConfig(run_id="inc", stages=("extract",))
+    )
+    assert r2["extract_pending_docs"] == n_delta  # only the delta buckets
+    assert r2["extract_stale_partitions"] == 0
+
+    run_pipeline(
+        spark, docs_all, aliases, cat_full,
+        PipelineConfig(run_id="f", stages=("extract",)),
+    )
+    inc_rows = sorted(map(tuple, cat.load_table("triples").collect()))
+    full_rows = sorted(map(tuple, cat_full.load_table("triples").collect()))
+    assert inc_rows == full_rows
+
+
+def test_incremental_deletion_purges_stale_buckets(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """Buckets whose docs vanish from the input are purged from the triples
+    table and their 'done' rows neutralized — and a later re-appearance of
+    the identical content RECOMPUTES instead of serving the deleted dirs."""
+    cat = ParquetCatalog(spark, str(tmp_path / "del"))
+    docs_all = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+    pid = F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+    shrunk = docs_all.where(pid >= 3)
+
+    run_pipeline(
+        spark, docs_all, aliases, cat, PipelineConfig(run_id="d", stages=("extract",))
+    )
+    r2 = run_pipeline(
+        spark, shrunk, aliases, cat, PipelineConfig(run_id="d", stages=("extract",))
+    )
+    assert r2["extract_pending_docs"] == 0  # surviving buckets untouched
+    assert r2["extract_stale_partitions"] > 0
+    # no stale triples: table equals a from-scratch run on the shrunk corpus
+    cat_ref = ParquetCatalog(spark, str(tmp_path / "ref"))
+    run_pipeline(
+        spark, shrunk, aliases, cat_ref, PipelineConfig(run_id="r", stages=("extract",))
+    )
+    assert sorted(map(tuple, cat.load_table("triples").collect())) == sorted(
+        map(tuple, cat_ref.load_table("triples").collect())
+    )
+
+    # identical content reappears: the dropped marker forces recompute
+    r3 = run_pipeline(
+        spark, docs_all, aliases, cat, PipelineConfig(run_id="d", stages=("extract",))
+    )
+    assert r3["extract_pending_docs"] == docs_all.where(pid < 3).count()
+    cat_ref2 = ParquetCatalog(spark, str(tmp_path / "ref2"))
+    run_pipeline(
+        spark, docs_all, aliases, cat_ref2,
+        PipelineConfig(run_id="r2", stages=("extract",)),
+    )
+    assert sorted(map(tuple, cat.load_table("triples").collect())) == sorted(
+        map(tuple, cat_ref2.load_table("triples").collect())
+    )

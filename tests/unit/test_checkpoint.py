@@ -50,3 +50,28 @@ def test_done_pids_scoped_by_stage_run_and_ruleset(spark, tmp_path):
     assert ckpt.done_pids(state, "link", "fp") == {ckpt.STAGE_SENTINEL_PID}
     assert ckpt.done_pids(state, "extract", "other") == set()
     assert ckpt.collect_run_state(cat, "r2") == set()
+
+
+def test_global_fingerprint_matches_whole_input(spark, golden_docs_path):
+    """The per-bucket fingerprint sums must reassemble to exactly the
+    whole-input fingerprint — the downstream stage chain is unchanged by
+    incremental gating."""
+    from openie_spark.sources.tables import load_docs
+
+    docs = load_docs(spark, golden_docs_path)
+    with_pid = ckpt.with_partition_id(docs, 64)
+    pid_fps = ckpt.partition_fingerprints(with_pid)
+    assert len(pid_fps) > 1
+    assert ckpt.global_fingerprint(pid_fps) == ckpt.input_fingerprint(docs)
+    assert ckpt.global_fingerprint({}) == "0:None"
+
+
+def test_record_dropped_neutralizes_done(spark, tmp_path):
+    cat = ParquetCatalog(spark, str(tmp_path))
+    _mark_done(spark, cat, "r", "extract", "fpA", [0, 1])
+    time.sleep(0.01)
+    ckpt.record_dropped(cat, "r", "extract", [1])
+    state = ckpt.collect_run_state(cat, "r")
+    assert ckpt.done_pids(state, "extract", "fpA") == {0}
+    # by-fp gate agrees: pid 1's latest verdict is 'dropped'
+    assert ckpt.done_pids_by_fp(state, "extract", {0: "fpA", 1: "fpA"}) == {0}
