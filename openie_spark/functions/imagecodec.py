@@ -1,11 +1,12 @@
-"""Pure-stdlib image codecs: 24-bit uncompressed BMP and binary PPM (P6).
+"""Pure-stdlib image codecs: 24-bit BMP, binary PPM (P6), and 8-bit PNG.
 
-The container ships no image libraries (no PIL/opencv), but these two
+The container ships no image libraries (no PIL/opencv), but these three
 formats are fully specified public formats decodable with nothing beyond
-`struct` and numpy — so the multimodal decode path (multimodal.py) can be
-REAL end-to-end for them instead of a stub: header parse, pixel decode,
-nearest-neighbor resize, and histogram features all compute from actual
-pixels.  Unknown formats still fall back to the clearly-marked stubs.
+`struct`/`zlib` and numpy — so the multimodal decode path (multimodal.py)
+can be REAL end-to-end for them instead of a stub: header parse, pixel
+decode, nearest-neighbor resize, and histogram features all compute from
+actual pixels.  Unknown formats still fall back to the clearly-marked
+stubs.
 
 Formats (public specs):
   - PPM P6 (Netpbm): ``P6<ws>width<ws>height<ws>maxval<single-ws>`` then
@@ -14,6 +15,10 @@ Formats (public specs):
     pixel-data offset) + 40-byte DIB (width, height, planes, bpp,
     compression), 24 bpp BI_RGB only; rows bottom-up (top-down when
     height < 0), BGR byte order, stride padded to 4 bytes.
+  - PNG (W3C spec): 8-bit greyscale / RGB / RGBA, non-interlaced; chunked
+    container, zlib-inflated raster, the five scanline filters (none /
+    sub / up / average / paeth) reversed per spec §6.  Palette, 16-bit,
+    and Adam7 images fall through to the stubs.
 
 All functions work on/return raw top-down RGB byte buffers (h*w*3).
 """
@@ -117,6 +122,118 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes] | None:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit greyscale / RGB / RGBA, non-interlaced — W3C PNG spec)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal encoder (filter 0 every row, one IDAT) — round-trip tests
+    and synthetic payloads; any spec-conforming reader accepts it."""
+    import zlib
+
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"encode_png: need {width * height * 3} bytes, got {len(rgb)}")
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)  # 8-bit RGB
+    rows = np.frombuffer(rgb, np.uint8).reshape(height, width * 3)
+    raster = np.hstack([np.zeros((height, 1), np.uint8), rows]).tobytes()
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raster))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarray:
+    """Reverse the five scanline filters (spec §6): returns (h, rowbytes)
+    reconstructed bytes.  Filters 0/1/2 vectorize (none / per-lane
+    cumulative sum / add-previous-row); 3 (average) and 4 (paeth) are
+    sequentially dependent along x and run as per-byte loops."""
+    out = np.zeros((h, rowbytes), np.uint16)
+    raw = raw.reshape(h, rowbytes + 1)
+    for y in range(h):
+        f, row = int(raw[y, 0]), raw[y, 1:].astype(np.uint16)
+        prev = out[y - 1] if y else np.zeros(rowbytes, np.uint16)
+        if f == 0:
+            out[y] = row
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp]  (mod 256)
+            lanes = row.reshape(-1, bpp).astype(np.uint64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint16).reshape(-1)
+        elif f == 2:  # Up
+            out[y] = (row + prev) % 256
+        elif f == 3:  # Average
+            r = out[y]
+            for x in range(rowbytes):
+                a = r[x - bpp] if x >= bpp else 0
+                r[x] = (row[x] + ((a + prev[x]) >> 1)) % 256
+        elif f == 4:  # Paeth
+            r = out[y]
+            for x in range(rowbytes):
+                a = int(r[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(out[y - 1, x - bpp]) if (x >= bpp and y) else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                r[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"png: unknown filter {f}")
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> tuple[int, int, bytes] | None:
+    """8-bit non-interlaced greyscale / RGB / RGBA PNG → top-down RGB
+    (alpha dropped, grey replicated).  Other bit depths / palette /
+    interlaced images return None (fall through to the labeled stubs)."""
+    import zlib
+
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        return None
+    i, w = len(_PNG_SIG), 0
+    h = bitdepth = color = interlace = -1
+    idat = bytearray()
+    while i + 8 <= len(data):
+        (length,), typ = struct.unpack_from(">I", data, i), data[i + 4 : i + 8]
+        payload = data[i + 8 : i + 8 + length]
+        if typ == b"IHDR":
+            w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+        elif typ == b"IDAT":
+            idat += payload
+        elif typ == b"IEND":
+            break
+        i += 12 + length  # len + type + payload + crc
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None or bitdepth != 8 or interlace != 0 or w <= 0 or h <= 0:
+        return None
+    try:
+        raster = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
+    except zlib.error:
+        return None
+    rowbytes = w * channels
+    if len(raster) != h * (rowbytes + 1):
+        return None
+    img = _png_unfilter(raster, h, rowbytes, channels).reshape(h, w, channels)
+    if channels == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif channels == 4:
+        img = img[:, :, :3]
+    return w, h, img.tobytes()
+
+
+# ---------------------------------------------------------------------------
 # sniff / resize / features
 # ---------------------------------------------------------------------------
 
@@ -128,6 +245,8 @@ def decode_image(data: bytes) -> tuple[int, int, bytes] | None:
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(data)
     return None
 
 

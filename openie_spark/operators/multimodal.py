@@ -3,14 +3,14 @@
 The container ships no image/audio libraries, so decode is split by
 format capability:
 
-  - **REAL decode** for 24-bit BMP and binary PPM (P6) via the pure-stdlib
+  - **REAL decode** for 24-bit BMP, binary PPM (P6), and 8-bit PNG via the pure-stdlib
     codec in functions/imagecodec.py — header parse, pixel decode,
     nearest-neighbor resize, and luminance-histogram features all compute
     from actual pixels, end-to-end through the Spark plan.  The synthetic
     fetch emits real PPM payloads for image spans, so this path is what
     runs in the tests and registry queries.
   - **Deterministic STUBS** (clearly marked) for every other format
-    (JPEG/PNG/audio/video need codec deps).  Swapping a stub for
+    (JPEG/audio/video need codec deps).  Swapping a stub for
     PIL/ffmpeg changes one inner function, not the plan.
 
 Everything Spark-side is real and tested either way: schemas, Arrow batch
@@ -151,7 +151,7 @@ def fetch_media_bytes(media: DataFrame) -> DataFrame:
 
 
 def _decode_image_stub(content: bytes) -> tuple[int, int]:
-    """STUB for formats without an in-container codec (JPEG/PNG/...).
+    """STUB for formats without an in-container codec (JPEG/...).
     Deterministic fake dimensions derived from the content hash.  Replace
     with PIL: ``img = PIL.Image.open(io.BytesIO(content)); return
     img.size``."""
@@ -175,7 +175,7 @@ def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 def decode_media(media_with_bytes: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extraction over Arrow batches.  Images
-    in a supported format (BMP/PPM) get a REAL decode + pixel features;
+    in a supported format (BMP/PPM/PNG) get a REAL decode + pixel features;
     everything else falls back to the stubs."""
     from openie_spark.functions.imagecodec import decode_image, rgb_features
 
@@ -221,7 +221,7 @@ def media_feature_stage(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# resize / frame-sample (BMP/PPM resize is REAL pixels; other formats keep
+# resize / frame-sample (BMP/PPM/PNG resize is REAL pixels; other formats keep
 # the stub discipline: Spark plumbing real, codec kernels replaceable one
 # function at a time)
 # ---------------------------------------------------------------------------
@@ -255,7 +255,7 @@ def _resize_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
 
 def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame:
     """Aspect-preserving thumbnail pass over image spans (mapInPandas).
-    Supported formats (BMP/PPM) run a REAL nearest-neighbor downscale and
+    Supported formats (BMP/PPM/PNG) run a REAL nearest-neighbor downscale and
     emit the thumbnail re-encoded as PPM; unknown formats use the stub."""
     from openie_spark.functions.imagecodec import (
         decode_image,
