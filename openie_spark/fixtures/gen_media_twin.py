@@ -70,7 +70,7 @@ def _media_items(sf_dir: str) -> list[tuple[str, int, str, str, bytes]]:
     the twin of media_spans → fetch_media_bytes."""
     from openie_spark.fixtures.gen_docs import docs_interleaved
     from openie_spark.fixtures.gen_golden import golden_docs
-    from openie_spark.operators.multimodal import _synth_image_ppm
+    from openie_spark.operators.multimodal import _synth_image
 
     items = []
     for d in docs_interleaved(sf_dir) + golden_docs():
@@ -79,7 +79,7 @@ def _media_items(sf_dir: str) -> list[tuple[str, int, str, str, bytes]]:
                 continue
             ref = s["media_ref"]
             content = (
-                _synth_image_ppm(ref)
+                _synth_image(ref)
                 if s["kind"] == "image"
                 else hashlib.sha256(ref.encode()).hexdigest().encode()
             )
@@ -198,7 +198,7 @@ def media_frame_rows(
 
 def media_features_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_features_v1_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_features_v2_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_feature_rows(sf_dir), FEATURES_PA, p)
     )
@@ -206,7 +206,7 @@ def media_features_path(sf_dir: str) -> str:
 
 def media_thumbs_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_thumbs_v1_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_thumbs_v2_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_thumb_rows(sf_dir), THUMBS_PA, p)
     )
@@ -214,7 +214,7 @@ def media_thumbs_path(sf_dir: str) -> str:
 
 def media_frames_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_frames_v1_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_frames_v2_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_frame_rows(sf_dir), FRAMES_PA, p)
     )

@@ -7,8 +7,8 @@ format capability:
     codec in functions/imagecodec.py — header parse, pixel decode,
     nearest-neighbor resize, and luminance-histogram features all compute
     from actual pixels, end-to-end through the Spark plan.  The synthetic
-    fetch emits real PPM payloads for image spans, so this path is what
-    runs in the tests and registry queries.
+    fetch rotates image payloads over all three containers, so every
+    codec runs e2e in the tests and registry queries.
   - **Deterministic STUBS** (clearly marked) for every other format
     (JPEG/audio/video need codec deps).  Swapping a stub for
     PIL/ffmpeg changes one inner function, not the plan.
@@ -113,24 +113,28 @@ def media_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def _synth_image_ppm(media_ref: str) -> bytes:
-    """Deterministic REAL image payload for an image span: a small PPM
-    whose dims and pixels derive from the ref hash — so the downstream
-    decode/resize/feature path runs on genuine pixels."""
-    from openie_spark.functions.imagecodec import encode_ppm
+def _synth_image(media_ref: str) -> bytes:
+    """Deterministic REAL image payload for an image span: dims and pixels
+    derive from the ref hash, and the CONTAINER rotates over PPM/BMP/PNG
+    (h[10] % 3) — so every pure-stdlib codec is driven by the e2e media
+    path, not just by unit tests.  Pixel content is container-invariant;
+    only n_bytes differs per format."""
+    from openie_spark.functions.imagecodec import encode_bmp, encode_png, encode_ppm
 
     h = hashlib.sha256(media_ref.encode()).digest()
     w, hgt = 8 + h[0] % 56, 8 + h[1] % 56
     rng = np.random.default_rng(int.from_bytes(h[2:10], "big"))
-    return encode_ppm(w, hgt, rng.integers(0, 256, w * hgt * 3, dtype=np.uint8).tobytes())
+    rgb = rng.integers(0, 256, w * hgt * 3, dtype=np.uint8).tobytes()
+    return (encode_ppm, encode_bmp, encode_png)[h[10] % 3](w, hgt, rgb)
 
 
 def fetch_media_bytes(media: DataFrame) -> DataFrame:
     """SYNTHETIC fetch: real deployments read from object storage by
     media_ref — which is a per-row Python/connector task, so a Python
     fence here matches the plan shape of the real thing.  Image spans get
-    a real decodable PPM payload (deterministic from the ref); audio/video
-    get sha256-seeded opaque bytes (no pure-stdlib codec exists for them)."""
+    a real decodable PPM/BMP/PNG payload (deterministic from the ref);
+    audio/video get sha256-seeded opaque bytes (no pure-stdlib codec
+    exists for them)."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,7 +143,7 @@ def fetch_media_bytes(media: DataFrame) -> DataFrame:
             # identical to the previous JVM-side sha2(ref,256)::binary
             # synth, so duration/frame outputs are unchanged across rounds
             content = [
-                _synth_image_ppm(ref)
+                _synth_image(ref)
                 if kind == "image"
                 else hashlib.sha256(ref.encode()).hexdigest().encode()
                 for kind, ref in zip(pdf["kind"], pdf["media_ref"])
