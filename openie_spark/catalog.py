@@ -184,11 +184,27 @@ class ParquetCatalog:
         shutil.rmtree(old, ignore_errors=True)
         return len(list(src.glob("**/*.parquet")))
 
+    def list_partitions(self, name: str, part_col: str) -> list[int]:
+        """Partition values currently ON DISK (``<col>=<val>`` dir names)
+        — incremental resume derives its stale set from this listing, not
+        from checkpoint state, so the purge is idempotent under a crash at
+        any point.  Driver-side O(#partitions) listing, like any table-
+        maintenance planner."""
+        root = Path(self._path(name))
+        if not root.exists():
+            return []
+        pre = f"{part_col}="
+        return sorted(
+            int(d.name[len(pre) :])
+            for d in root.iterdir()
+            if d.is_dir() and d.name.startswith(pre)
+        )
+
     def drop_partitions(self, name: str, part_col: str, values: list) -> None:
         """Remove whole hive partitions (``<col>=<val>`` dirs) — the
         parquet twin of Iceberg's ``DELETE WHERE part_col IN (...)``.
         Used by incremental resume to purge buckets whose input vanished;
-        missing dirs are ignored (idempotent)."""
+        missing dirs and an empty list are ignored (idempotent no-op)."""
         import shutil
 
         root = Path(self._path(name))
@@ -237,9 +253,22 @@ class IcebergCatalog:
     def append_table(self, df: DataFrame, name: str) -> None:
         df.writeTo(self._tbl(name)).append()
 
+    def list_partitions(self, name: str, part_col: str) -> list:
+        """Live partition values (incremental-resume twin of
+        ParquetCatalog.list_partitions)."""
+        return sorted(
+            r[0]
+            for r in self.spark.sql(
+                f"SELECT DISTINCT {part_col} FROM {self._tbl(name)}"
+            ).collect()
+        )
+
     def drop_partitions(self, name: str, part_col: str, values: list) -> None:
         """Transactional partition purge (incremental-resume twin of
-        ParquetCatalog.drop_partitions)."""
+        ParquetCatalog.drop_partitions).  Empty list = no-op, matching the
+        parquet twin."""
+        if not values:
+            return
         vals = ", ".join(str(int(v)) for v in values)
         self.spark.sql(
             f"DELETE FROM {self._tbl(name)} WHERE {part_col} IN ({vals})"

@@ -200,32 +200,35 @@ def decode_png(data: bytes) -> tuple[int, int, bytes] | None:
 
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         return None
-    i, w = len(_PNG_SIG), 0
-    h = bitdepth = color = interlace = -1
-    idat = bytearray()
-    while i + 8 <= len(data):
-        (length,), typ = struct.unpack_from(">I", data, i), data[i + 4 : i + 8]
-        payload = data[i + 8 : i + 8 + length]
-        if typ == b"IHDR":
-            w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
-        elif typ == b"IDAT":
-            idat += payload
-        elif typ == b"IEND":
-            break
-        i += 12 + length  # len + type + payload + crc
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
-    if channels is None or bitdepth != 8 or interlace != 0 or w <= 0 or h <= 0:
-        return None
+    # Malformed payloads must fall through to the stubs like the sibling
+    # decoders (sniff-and-fall-back contract), never crash the Spark task:
+    # truncated IHDR -> struct.error, filter byte > 4 -> ValueError.
     try:
+        i, w = len(_PNG_SIG), 0
+        h = bitdepth = color = interlace = -1
+        idat = bytearray()
+        while i + 8 <= len(data):
+            (length,), typ = struct.unpack_from(">I", data, i), data[i + 4 : i + 8]
+            payload = data[i + 8 : i + 8 + length]
+            if typ == b"IHDR":
+                w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+            elif typ == b"IDAT":
+                idat += payload
+            elif typ == b"IEND":
+                break
+            i += 12 + length  # len + type + payload + crc
+        channels = {0: 1, 2: 3, 6: 4}.get(color)
+        if channels is None or bitdepth != 8 or interlace != 0 or w <= 0 or h <= 0:
+            return None
         raster = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-    except zlib.error:
+        rowbytes = w * channels
+        if len(raster) != h * (rowbytes + 1):
+            return None
+        img = _png_unfilter(raster, h, rowbytes, channels).reshape(h, w, channels)
+    except (struct.error, ValueError, zlib.error):
         return None
-    rowbytes = w * channels
-    if len(raster) != h * (rowbytes + 1):
-        return None
-    img = _png_unfilter(raster, h, rowbytes, channels).reshape(h, w, channels)
     if channels == 1:
         img = np.repeat(img, 3, axis=2)
     elif channels == 4:

@@ -112,6 +112,16 @@ def run_pipeline(
     pid_fps = ckpt.partition_fingerprints(with_pid)
     fingerprint = ckpt.global_fingerprint(pid_fps)
     done = ckpt.done_pids_by_fp(ck_state, "extract", pid_fps)
+    if not pid_fps and any(s == "extract" for (s, *_rest) in ck_state):
+        # Destructive-guard: an EMPTY input against a run that already
+        # extracted would purge every triples partition — almost always a
+        # transient upstream feed glitch, never silently actionable.
+        # Intentionally emptying a corpus takes a fresh run_id/table.
+        raise ValueError(
+            f"run {cfg.run_id!r}: input is empty but the checkpoint has "
+            "completed extract work — refusing to purge the corpus; use a "
+            "new run_id (and table root) if this is intentional"
+        )
     todo = (
         with_pid.where(~F.col("partition_id").isin(sorted(done)))
         if done
@@ -121,6 +131,17 @@ def run_pipeline(
     with ckpt.StageTimer() as t_extract:
         pending = todo.count()
         if pending > 0:
+            # Purge the partitions being RECOMPUTED before the write:
+            # dynamic partition-overwrite only replaces partitions present
+            # in the written output, so a bucket whose new extraction
+            # yields ZERO triples would otherwise keep serving its old
+            # rows while being checkpointed done under the new
+            # fingerprint.  Crash-safe: if we die after the purge, these
+            # buckets' done rows carry the OLD fingerprint, so the next
+            # run recomputes them.
+            recompute = sorted(set(pid_fps) - done)
+            if cat.exists("triples"):
+                cat.drop_partitions("triples", "partition_id", recompute)
             factor = max(1, -(-16 * nparts // cfg.n_buckets))
             gran = cfg.n_buckets * factor
             clustered = cfg.cluster_before_extract
@@ -156,20 +177,22 @@ def run_pipeline(
             # per-partition metrics from the WRITTEN table — recomputing
             # `triples` here would re-run the whole extraction UDF a second
             # time (DataFrame actions do not reuse shuffle/UDF work)
-            fp_df = spark.createDataFrame(
-                sorted(pid_fps.items()), "partition_id int, input_fingerprint string"
+            # n_in per bucket is already on the driver (the 'n:' half of
+            # each fingerprint) — rebuilding it from the corpus would be a
+            # whole redundant scan at the 100 TB posture; only the written-
+            # triples counts need a (cheap, output-side) aggregation.
+            base = spark.createDataFrame(
+                [(p, int(f.split(":")[0]), f) for p, f in sorted(pid_fps.items())],
+                "partition_id int, n_in long, input_fingerprint string",
             )
             stats = (
-                with_pid.groupBy("partition_id")
-                .agg(F.count("*").alias("n_in"))
-                .join(
+                base.join(
                     cat.load_table("triples")
                     .groupBy("partition_id")
                     .agg(F.count("*").alias("n_triples")),
                     "partition_id",
                     "left",
                 )
-                .join(F.broadcast(fp_df), "partition_id")
                 .select(
                     "partition_id",
                     "n_in",
@@ -181,23 +204,20 @@ def run_pipeline(
         ckpt.record_done(
             cat, cfg.run_id, "extract", fingerprint, stats, t_extract.wall_ms
         )
-    # Buckets this run's checkpoint marks done but whose docs VANISHED from
-    # the input: purge their data partitions and neutralize the 'done' rows
-    # (a 'dropped' marker becomes the latest verdict), so the output never
-    # serves triples for retired documents and an identical re-appearance
-    # recomputes.  Bounded driver-side set arithmetic; no extra scan.
-    stale = sorted(
-        {
-            pid
-            for (s, pid, _fp, _rs) in ck_state
-            if s == "extract" and pid != ckpt.STAGE_SENTINEL_PID
-        }
-        - set(pid_fps)
-    )
-    if stale:
-        if cat.exists("triples"):
+    # Purge buckets whose docs VANISHED from the input.  The stale set is
+    # derived from the table's ON-DISK partition listing (not checkpoint
+    # state), so the purge is idempotent under a crash at any point; the
+    # 'dropped' marker is appended BEFORE the delete — marker-without-
+    # delete re-purges next run, delete-without-marker would gate a
+    # reappearance of identical content as done with its data gone.
+    stale: list[int] = []
+    if cat.exists("triples"):
+        stale = sorted(
+            set(cat.list_partitions("triples", "partition_id")) - set(pid_fps)
+        )
+        if stale:
+            ckpt.record_dropped(cat, cfg.run_id, "extract", stale)
             cat.drop_partitions("triples", "partition_id", stale)
-        ckpt.record_dropped(cat, cfg.run_id, "extract", stale)
     out["extract_stale_partitions"] = len(stale)
     triples = cat.load_table("triples").drop("partition_id")
     if cfg.collect_counts:

@@ -482,3 +482,80 @@ def test_incremental_deletion_purges_stale_buckets(
     assert sorted(map(tuple, cat.load_table("triples").collect())) == sorted(
         map(tuple, cat_ref2.load_table("triples").collect())
     )
+
+
+def test_incremental_zero_triple_recompute_purges_bucket(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """A bucket recomputed to ZERO triples (docs replaced by verb-free
+    text) must not keep serving its old rows: dynamic partition-overwrite
+    writes nothing for it, so the pre-write purge has to clear the dir."""
+    from openie_spark.plans import checkpoint as ckpt
+
+    cat = ParquetCatalog(spark, str(tmp_path / "z"))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+    run_pipeline(
+        spark, docs, aliases, cat, PipelineConfig(run_id="z", stages=("extract",))
+    )
+
+    # replace ONE bucket's text with verb-free tokens (same doc_ids)
+    pid = F.pmod(F.xxhash64("doc_id"), F.lit(64)).cast("int")
+    target = cat.list_partitions("triples", "partition_id")[0]
+    verbless = F.transform(
+        "spans",
+        lambda s: F.struct(
+            s.kind.alias("kind"),
+            F.when(s.kind == "text", F.lit("stone river tree")).otherwise(
+                s.text
+            ).alias("text"),
+            s.media_ref.alias("media_ref"),
+            s.offset.alias("offset"),
+        ),
+    )
+    mutated = docs.withColumn(
+        "spans", F.when(pid == target, verbless).otherwise(F.col("spans"))
+    )
+    r2 = run_pipeline(
+        spark, mutated, aliases, cat, PipelineConfig(run_id="z", stages=("extract",))
+    )
+    assert r2["extract_pending_docs"] > 0
+    assert target not in cat.list_partitions("triples", "partition_id")
+
+    cat_ref = ParquetCatalog(spark, str(tmp_path / "zref"))
+    run_pipeline(
+        spark, mutated, aliases, cat_ref,
+        PipelineConfig(run_id="zr", stages=("extract",)),
+    )
+    assert sorted(map(tuple, cat.load_table("triples").collect())) == sorted(
+        map(tuple, cat_ref.load_table("triples").collect())
+    )
+    # same mutated input again: the zero-triple bucket stays done (absent
+    # partition + matching fp is the CORRECT state, not a recompute signal)
+    r3 = run_pipeline(
+        spark, mutated, aliases, cat, PipelineConfig(run_id="z", stages=("extract",))
+    )
+    assert r3["extract_pending_docs"] == 0
+
+
+def test_incremental_empty_input_refuses_to_purge(
+    spark, golden_docs_path, alias_dict_path, tmp_path
+):
+    """An EMPTY input against a run with completed extract work must raise
+    (transient feed glitch), leaving the corpus untouched — not silently
+    purge every partition."""
+    import pytest as _pytest
+
+    cat = ParquetCatalog(spark, str(tmp_path / "e"))
+    docs = load_docs(spark, golden_docs_path)
+    aliases = load_alias_dict(spark, alias_dict_path)
+    run_pipeline(
+        spark, docs, aliases, cat, PipelineConfig(run_id="e", stages=("extract",))
+    )
+    before = cat.load_table("triples").count()
+    with _pytest.raises(ValueError, match="refusing to purge"):
+        run_pipeline(
+            spark, docs.limit(0), aliases, cat,
+            PipelineConfig(run_id="e", stages=("extract",)),
+        )
+    assert cat.load_table("triples").count() == before

@@ -241,3 +241,26 @@ def test_png_rejects_unsupported():
     from openie_spark.functions.imagecodec import encode_png
 
     assert decode_image(encode_png(2, 2, bytes(12)))[0] == 2
+
+
+def test_png_malformed_falls_through_to_none():
+    """Sniff-and-fall-back contract: payloads that LOOK like PNG but are
+    malformed must return None (stub fallback), never raise into the
+    Spark task — truncated IHDR and an out-of-range filter byte."""
+    import struct
+    import zlib
+
+    from openie_spark.functions.imagecodec import _PNG_SIG, decode_png
+
+    truncated = _PNG_SIG + _png_chunk(b"IHDR", b"\x00\x00\x00\x01")
+    assert decode_png(truncated) is None
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bad_filter = bytes([5]) + bytes(6)  # filter byte 5 is out of spec
+    data = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bad_filter * 2))
+        + _png_chunk(b"IEND", b"")
+    )
+    assert decode_png(data) is None
