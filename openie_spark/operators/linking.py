@@ -158,3 +158,102 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     rest2 = rest1.join(lsh, "mention_norm", "left_anti")
     minted = mint_ids(rest2)
     return exact.unionByName(lsh).unionByName(minted)
+
+
+def blocking_quality(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
+    """Blocking-quality metrics for the LSH candidate blocker — ONE row of
+    exact integers (Christen, "Data Matching", 2012):
+
+      pairs completeness  = blocking recall: fraction of truly-matching
+                            (mention, alias) pairs (exact Jaccard >= the
+                            frozen threshold) that share >= 1 LSH band;
+      reduction ratio     = fraction of the |mentions| x |aliases| pair
+                            space the blocker prunes.
+
+    Ground truth is a brute-force pass against the BROADCAST alias
+    dictionary — linear in distinct mentions because the dictionary is the
+    bounded small dimension (the north star's "broadcast alias dict"), so
+    the truth pass costs one broadcast nested-loop over a
+    vocabulary-bounded frame, never a corpus-sized cross product.  At a
+    10^9-alias dictionary you would run the truth pass on a deterministic
+    hash-sample of mentions instead; the metric definition is unchanged.
+
+    Ratios are reported in exact integer ppm (floor division) so the
+    driver value-hash is bit-comparable — no float accumulation.  The
+    pure-Python twin (fixtures/gen_blocking_twin.py) replays the same
+    frozen scheme single-process and is the DuckDB oracle.
+    """
+    distinct = mentions.select("mention_norm").distinct()
+    aliases = cut_lineage(
+        alias_dict.select("alias_norm").distinct(), eager=True
+    )
+    # the blocker's actual input: mentions the exact path did NOT consume
+    rest = cut_lineage(
+        distinct.join(aliases, distinct.mention_norm == aliases.alias_norm, "left_anti"),
+        eager=True,
+    )
+    n_part = mentions.sparkSession.sparkContext.defaultParallelism
+    m_exp = rest.repartition(n_part, "mention_norm").select(
+        "mention_norm", F.explode(band_keys_udf("mention_norm")).alias("band_key")
+    )
+    a_exp = aliases.select(
+        "alias_norm", F.explode(band_keys_udf("alias_norm")).alias("band_key")
+    )
+    cand = (
+        m_exp.join(a_exp, "band_key")
+        .select("mention_norm", "alias_norm")
+        .dropDuplicates(["mention_norm", "alias_norm"])
+    )
+    truth = (
+        rest.crossJoin(F.broadcast(aliases))
+        .withColumn("m_shingles", shingles_col("mention_norm"))
+        .withColumn("a_shingles", shingles_col("alias_norm"))
+        .where(
+            F.size(F.array_intersect("m_shingles", "a_shingles"))
+            / F.size(F.array_union("m_shingles", "a_shingles"))
+            >= mh.JACCARD_THRESHOLD
+        )
+        .select("mention_norm", "alias_norm")
+    )
+    per_pair = (
+        cand.withColumn("is_cand", F.lit(1)).withColumn("is_true", F.lit(0))
+        .unionByName(
+            truth.withColumn("is_cand", F.lit(0)).withColumn("is_true", F.lit(1))
+        )
+        .groupBy("mention_norm", "alias_norm")
+        .agg(F.max("is_cand").alias("is_cand"), F.max("is_true").alias("is_true"))
+    )
+    counts = per_pair.agg(
+        F.coalesce(F.sum("is_cand"), F.lit(0)).cast("bigint").alias("n_cand_pairs"),
+        F.coalesce(F.sum("is_true"), F.lit(0)).cast("bigint").alias("n_true_pairs"),
+        F.coalesce(F.sum(F.col("is_cand") * F.col("is_true")), F.lit(0))
+        .cast("bigint")
+        .alias("n_found_pairs"),
+    )
+    sizes = rest.agg(F.count("*").alias("n_mentions")).crossJoin(
+        aliases.agg(F.count("*").alias("n_aliases"))
+    )
+    return sizes.crossJoin(counts).select(
+        "n_mentions",
+        "n_aliases",
+        "n_true_pairs",
+        "n_cand_pairs",
+        "n_found_pairs",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.expr("n_found_pairs * 1000000 div n_true_pairs"),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("bigint")
+        .alias("pairs_completeness_ppm"),
+        F.when(
+            F.col("n_mentions") * F.col("n_aliases") > 0,
+            F.expr(
+                "(n_mentions * n_aliases - n_cand_pairs) * 1000000"
+                " div (n_mentions * n_aliases)"
+            ),
+        )
+        .otherwise(F.lit(1000000))
+        .cast("bigint")
+        .alias("reduction_ratio_ppm"),
+    )

@@ -1056,6 +1056,20 @@ def _entity_links_sql() -> str:
     )
 
 
+def _blocking_quality_sql() -> str:
+    """Identity oracle over the pure-Python blocking-quality twin
+    (gen_blocking_twin): the twin replays the frozen MinHash/LSH scheme +
+    brute-force exact-Jaccard ground truth single-process and emits the
+    same one row of exact-integer metrics."""
+    from openie_spark.fixtures.gen_blocking_twin import blocking_quality_path
+
+    return (
+        "SELECT n_mentions, n_aliases, n_true_pairs, n_cand_pairs, "
+        "n_found_pairs, pairs_completeness_ppm, reduction_ratio_ppm "
+        f"FROM read_parquet('{blocking_quality_path(ORACLE_SF_DIR)}')"
+    )
+
+
 def _ann_srp_sql() -> str:
     from openie_spark.fixtures.gen_ann_twin import srp_topk_path
 
@@ -1486,6 +1500,20 @@ def q_entity_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(mentions, load_alias_dict(spark, alias_path)).orderBy(
         "mention_norm"
     )
+
+
+def q_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER blocking-quality metrics (pairs completeness / reduction ratio,
+    exact integer ppm) of the LSH candidate blocker vs brute-force
+    exact-Jaccard ground truth against the broadcast alias dictionary.
+    Oracle-checked via the pure-Python twin (gen_blocking_twin)."""
+    from openie_spark.fixtures.entities import ensure_alias_dict
+    from openie_spark.operators.linking import blocking_quality
+    from openie_spark.sources.tables import load_alias_dict
+
+    alias_path = ensure_alias_dict()
+    mentions = mentions_from_triples(extract_stage(_docs(spark, sf_dir)))
+    return blocking_quality(mentions, load_alias_dict(spark, alias_path))
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3104,6 +3132,7 @@ QUERIES = {
     "media_frames": q_media_frames,
     "stream_sessions": q_stream_sessions,
     "entity_links": q_entity_links,
+    "blocking_quality": q_blocking_quality,
     "connected_components": q_connected_components,
     "extract_triples": q_extract_triples,
     "clause_stats": q_clause_stats,
@@ -3221,6 +3250,7 @@ def build_oracle_sql() -> dict[str, str]:
     out["minhash_dedup_groups"] = _minhash_groups_sql()
     out["simhash_dedup"] = _simhash_dedup_sql()
     out["entity_links"] = _entity_links_sql()
+    out["blocking_quality"] = _blocking_quality_sql()
     out["media_features"] = _media_features_sql()
     out["media_thumbnails"] = _media_thumbnails_sql()
     out["media_frames"] = _media_frames_sql()

@@ -80,3 +80,37 @@ def test_alias_dict_schema(spark, alias_dict_path):
         f.name for f in ALIAS_DICT_SCHEMA.fields
     ]
     assert df.where(F.col("alias_norm").isNull()).count() == 0
+
+
+def test_blocking_quality_matches_bruteforce(spark, alias_dict_path):
+    """blocking_quality vs a per-pair pure-Python replay of the frozen
+    scheme on a small controlled mention set (exact hits excluded, the
+    candidate/truth/found counts recomputed pairwise)."""
+    from openie_spark.operators.linking import blocking_quality
+
+    names = entity_names(30)
+    mentions = sorted(set(names) | {n + "x" for n in names[:10]} | {"zz", ""})
+    sdf = spark.createDataFrame([(m,) for m in mentions], "mention_norm string")
+    row = blocking_quality(sdf, _aliases(spark, alias_dict_path)).collect()[0]
+
+    aliases = sorted({r["alias_norm"] for r in alias_rows()})
+    rest = [m for m in mentions if m not in set(aliases)]
+    a_pre = [(set(mh.band_keys_for(a)), mh.shingles(a)) for a in aliases]
+    n_true = n_cand = n_found = 0
+    for m in rest:
+        mb, msh = set(mh.band_keys_for(m)), mh.shingles(m)
+        for ab, ash in a_pre:
+            c = bool(mb & ab)
+            t = mh.jaccard(msh, ash) >= mh.JACCARD_THRESHOLD
+            n_cand += c
+            n_true += t
+            n_found += c and t
+    assert (row.n_mentions, row.n_aliases) == (len(rest), len(aliases))
+    assert (row.n_true_pairs, row.n_cand_pairs, row.n_found_pairs) == (
+        n_true,
+        n_cand,
+        n_found,
+    )
+    assert row.pairs_completeness_ppm == n_found * 1_000_000 // n_true
+    space = len(rest) * len(aliases)
+    assert row.reduction_ratio_ppm == (space - n_cand) * 1_000_000 // space
