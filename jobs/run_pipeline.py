@@ -17,6 +17,14 @@ Cluster usage (the north rule's launch shape):
 Sandbox smoke:
     python jobs/run_pipeline.py --input .fixtures/golden_docs.parquet \
         --alias-dict .fixtures/alias_dict.parquet --output /tmp/kg --run-id t
+
+Incremental contract (resume is the DEFAULT; no flag needed): re-submitting
+the same --output/--run-id over docs ∪ delta re-extracts only the buckets
+the delta touches (per-bucket fingerprints, plans/checkpoint.py); buckets
+whose docs vanished are purged; downstream stages (link/canonicalize/
+materialize) recompute iff their chained fingerprint changed.  Gated at
+the process boundary by tests/prop/test_cli_pipeline.py (two separate
+CLI invocations) and in-session by test_pipeline_e2e.py::test_incremental_*.
 """
 
 from __future__ import annotations
