@@ -132,6 +132,133 @@ def with_session_seq(
     return events.withColumn("session_seq", F.sum(new_sess).over(run))
 
 
+# ---------------------------------------------------------------------------
+# Temporal KG edges (SURVEY §7 candidate, landed r4): validity intervals on
+# triples by FACT SUCCESSION — the standard temporal-KG construction when
+# facts carry assertion times but no explicit end times: an assertion of
+# fact-key (subj, rel) is valid from its assertion instant until the next
+# strictly-later assertion of the same key (any argument); the last
+# assertion stays open.  The corpus carries no real timestamps, so each
+# doc's assertion instant derives deterministically from the
+# engine-portable 60-bit hash (functions/hashing.py — same scheme on both
+# engines).  This module is the ONE home for the constants, the Spark
+# builders, and the DuckDB twin of the time derivation; the registry
+# queries and their oracles interpolate from here (the session-gap /
+# rule-mining lockstep pattern).
+# ---------------------------------------------------------------------------
+
+DOC_TS_BASE_S = 1_700_000_000  # 2023-11-14T22:13:20Z
+DOC_TS_WINDOW_S = 30 * 86_400  # assertion instants spread over 30 days
+OPEN_END_S = 253_402_300_800  # 10000-01-01T00:00:00Z: "still valid" sentinel
+# probe instants for time-sliced queries: 8 evenly spaced, ending at the
+# window edge (the last probe sees only still-open facts)
+KG_PROBE_INSTANTS = tuple(
+    DOC_TS_BASE_S + (i * DOC_TS_WINDOW_S) // 8 for i in range(1, 9)
+)
+
+
+def doc_event_seconds(doc_col: str = "doc_id"):
+    """Deterministic per-doc assertion instant as bigint epoch-seconds:
+    BASE + H60(doc_id) % WINDOW.  H60 is non-negative, so Spark ``pmod``
+    and DuckDB ``%`` agree bit-for-bit (twin: ``doc_event_seconds_sql``)."""
+    from openie_spark.functions.hashing import portable_hash60
+
+    return (
+        F.lit(DOC_TS_BASE_S)
+        + F.pmod(portable_hash60(doc_col), F.lit(DOC_TS_WINDOW_S))
+    ).cast("long")
+
+
+def doc_event_seconds_sql(expr: str = "doc_id") -> str:
+    """DuckDB twin of ``doc_event_seconds`` — interpolate into oracle SQL."""
+    return (
+        f"({DOC_TS_BASE_S} + CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+        f" % {DOC_TS_WINDOW_S})"
+    )
+
+
+def triple_validity_intervals(triples: DataFrame) -> DataFrame:
+    """Succession-based validity intervals over argful triples.
+
+    Declared semantics (the SQL oracle in plans/registry.py mirrors them
+    clause-for-clause):
+
+      * an ASSERTION is a DISTINCT (subj_norm, rel, arg_norm, doc_id) with
+        clause_type != 'SV' and a non-empty argument, timestamped by
+        ``doc_event_seconds(doc_id)``;
+      * a FACT KEY is (subj_norm, rel); an assertion is valid from its
+        instant until the next STRICTLY LATER assertion of the same key —
+        simultaneous assertions (same doc, or hash-coincident docs) coexist
+        rather than zero-length-truncating each other;
+      * the last assertion of a key stays open: ``valid_to_s = OPEN_END_S``
+        — a sentinel, never NULL, because NULL-in-int64 materializes as
+        float64 in pandas on both engines and would poison the
+        dtype-strict driver compare.
+
+    Plan (audited): three narrow linear shuffles over the assertions frame
+    — the assertion distinct, the per-key instant distinct, and the fact-
+    key window — then the assertion→interval attach joins on (key,
+    instant) (broadcast at small SF; SMJ on the same key at scale).  No
+    inequality join anywhere.  Skew note: a pathologically hot (subj, rel)
+    key makes one window partition large, but the window is a linear scan
+    (lead), not a pairwise product — it degrades, never explodes."""
+    a = (
+        triples.where((F.col("clause_type") != "SV") & (F.col("arg_norm") != ""))
+        .select("subj_norm", "rel", "arg_norm", "doc_id")
+        .distinct()
+        .withColumn("valid_from_s", doc_event_seconds("doc_id"))
+    )
+    d = (
+        a.select("subj_norm", "rel", "valid_from_s")
+        .distinct()
+        .withColumn(
+            "valid_to_s",
+            F.coalesce(
+                F.lead("valid_from_s").over(
+                    Window.partitionBy("subj_norm", "rel").orderBy("valid_from_s")
+                ),
+                F.lit(OPEN_END_S),
+            ),
+        )
+    )
+    return a.join(d, ["subj_norm", "rel", "valid_from_s"]).select(
+        "subj_norm", "rel", "arg_norm", "doc_id", "valid_from_s", "valid_to_s"
+    )
+
+
+def facts_in_force(
+    intervals: DataFrame, instants: tuple[int, ...] = KG_PROBE_INSTANTS
+) -> DataFrame:
+    """Time-sliced KG: per probe instant t, the facts in force (intervals
+    with ``valid_from_s <= t < valid_to_s``) — as-of semantics ("latest
+    assertion at or before t, not yet superseded") realized through the
+    intervals with ONE narrow explode instead of an as-of join per probe:
+    each interval emits exactly the probes it contains via a literal-array
+    filter (fan-out <= len(instants), no join, no BroadcastNestedLoop).
+    Probes with zero facts in force yield no row — mirrored by the SQL
+    oracle's inner containment join."""
+    probes = F.array(*[F.lit(int(t)).cast("long") for t in instants])
+    return (
+        intervals.withColumn(
+            "probe_ts_s",
+            F.explode(
+                F.filter(
+                    probes,
+                    lambda t: (t >= F.col("valid_from_s"))
+                    & (t < F.col("valid_to_s")),
+                )
+            ),
+        )
+        .groupBy("probe_ts_s")
+        .agg(
+            F.count("*").alias("n_facts"),
+            F.countDistinct(F.concat_ws("|", "subj_norm", "rel")).alias("n_keys"),
+            F.countDistinct("subj_norm").alias("n_subjects"),
+        )
+        .orderBy("probe_ts_s")
+    )
+
+
 def interval_join_banded(
     points: DataFrame,
     intervals: DataFrame,

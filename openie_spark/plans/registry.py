@@ -1761,6 +1761,69 @@ GROUP BY label, conj ORDER BY label, conj
 """
 
 
+def q_triple_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal KG edges: succession-based validity intervals over argful
+    triples (operators/temporal.py:triple_validity_intervals — declared
+    semantics there).  Assertion instants derive deterministically from
+    the portable 60-bit hash, so the DuckDB oracle recomputes the
+    identical intervals over the spec-side triples fixture."""
+    from openie_spark.operators.temporal import triple_validity_intervals
+
+    return triple_validity_intervals(extract_stage(_docs(spark, sf_dir)))
+
+
+def _triple_intervals_sql() -> str:
+    from openie_spark.fixtures.gen_spec_triples import spec_triples_path
+    from openie_spark.operators.temporal import OPEN_END_S, doc_event_seconds_sql
+
+    return f"""
+WITH a AS (
+  SELECT DISTINCT subj_norm, rel, arg_norm, doc_id,
+         {doc_event_seconds_sql('doc_id')} AS valid_from_s
+  FROM read_parquet('{spec_triples_path(ORACLE_SF_DIR)}')
+  WHERE clause_type <> 'SV' AND arg_norm <> ''
+), d AS (
+  SELECT subj_norm, rel, valid_from_s,
+         COALESCE(
+           LEAD(valid_from_s) OVER (PARTITION BY subj_norm, rel
+                                    ORDER BY valid_from_s),
+           {OPEN_END_S}) AS valid_to_s
+  FROM (SELECT DISTINCT subj_norm, rel, valid_from_s FROM a)
+)
+SELECT a.subj_norm, a.rel, a.arg_norm, a.doc_id, a.valid_from_s, d.valid_to_s
+FROM a JOIN d USING (subj_norm, rel, valid_from_s)
+"""
+
+
+def q_kg_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-sliced KG: facts in force at each of 8 deterministic probe
+    instants (operators/temporal.py:facts_in_force — as-of semantics via
+    the validity intervals, one narrow explode, no BNLJ)."""
+    from openie_spark.operators.temporal import (
+        facts_in_force,
+        triple_validity_intervals,
+    )
+
+    return facts_in_force(triple_validity_intervals(extract_stage(_docs(spark, sf_dir))))
+
+
+def _kg_asof_sql() -> str:
+    from openie_spark.operators.temporal import KG_PROBE_INSTANTS
+
+    probes = ", ".join(f"({t})" for t in KG_PROBE_INSTANTS)
+    return f"""
+WITH iv AS ({_triple_intervals_sql()}),
+     p(probe_ts_s) AS (VALUES {probes})
+SELECT p.probe_ts_s,
+       COUNT(*) AS n_facts,
+       COUNT(DISTINCT iv.subj_norm || '|' || iv.rel) AS n_keys,
+       COUNT(DISTINCT iv.subj_norm) AS n_subjects
+FROM iv JOIN p ON iv.valid_from_s <= p.probe_ts_s
+              AND p.probe_ts_s < iv.valid_to_s
+GROUP BY p.probe_ts_s ORDER BY p.probe_ts_s
+"""
+
+
 PAGERANK_ITERS = 5
 
 
@@ -3137,6 +3200,8 @@ QUERIES = {
     "extract_triples": q_extract_triples,
     "clause_stats": q_clause_stats,
     "dep_arc_stats": q_dep_arc_stats,
+    "triple_intervals": q_triple_intervals,
+    "kg_asof": q_kg_asof,
     "mentions": q_mentions,
     "span_invariant": q_span_invariant,
     "pivot_segment_status": q_pivot_segment_status,
@@ -3244,6 +3309,8 @@ def build_oracle_sql() -> dict[str, str]:
     out = dict(ORACLE_SQL)
     out["clause_stats"] = _clause_stats_sql()
     out["dep_arc_stats"] = _dep_arc_stats_sql()
+    out["triple_intervals"] = _triple_intervals_sql()
+    out["kg_asof"] = _kg_asof_sql()
     out["extract_triples"] = _extract_triples_sql()
     out["mentions"] = _mentions_sql()
     out["minhash_dedup"] = _minhash_dedup_sql()

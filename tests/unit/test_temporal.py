@@ -119,3 +119,81 @@ def test_interval_banded_plan_no_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Temporal KG: succession-based validity intervals + time-sliced in-force
+# ---------------------------------------------------------------------------
+
+def _h60_ts(doc_id: str) -> int:
+    """Pure-Python replay of doc_event_seconds (md5-based H60 twin)."""
+    import hashlib
+
+    from openie_spark.operators.temporal import DOC_TS_BASE_S, DOC_TS_WINDOW_S
+
+    h = int(hashlib.md5(doc_id.encode()).hexdigest()[:15], 16)
+    return DOC_TS_BASE_S + h % DOC_TS_WINDOW_S
+
+
+def _toy_triples(spark):
+    # key (s1, likes): three docs = three instants; dA asserts TWO args at
+    # the same instant (simultaneous — must coexist, not zero-truncate).
+    # key (s2, runs): single assertion → open end.  SV + empty-arg rows
+    # must be excluded.  Duplicate row in dA must collapse (DISTINCT).
+    rows = [
+        ("dA", "s1", "likes", "x", "SVO"),
+        ("dA", "s1", "likes", "x", "SVO"),  # exact duplicate
+        ("dA", "s1", "likes", "y", "SVO"),  # simultaneous sibling
+        ("dB", "s1", "likes", "z", "SVO"),
+        ("dC", "s1", "likes", "w", "SVO"),
+        ("dA", "s2", "runs", "m", "SVA"),
+        ("dA", "s3", "sleeps", "", "SV"),  # SV: excluded
+        ("dB", "s3", "sleeps", "", "SVO"),  # empty arg: excluded
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, subj_norm string, rel string, arg_norm string, clause_type string"
+    )
+
+
+def test_triple_validity_intervals_succession(spark):
+    from openie_spark.operators.temporal import (
+        OPEN_END_S,
+        triple_validity_intervals,
+    )
+
+    out = {
+        (r.subj_norm, r.rel, r.arg_norm, r.doc_id): (r.valid_from_s, r.valid_to_s)
+        for r in triple_validity_intervals(_toy_triples(spark)).collect()
+    }
+    tA, tB, tC = _h60_ts("dA"), _h60_ts("dB"), _h60_ts("dC")
+    # expected succession for key (s1, likes): order instants, each
+    # assertion valid until the next STRICTLY later instant
+    inst = sorted([tA, tB, tC])
+    nxt = {t: (inst[i + 1] if i + 1 < len(inst) else OPEN_END_S)
+           for i, t in enumerate(inst)}
+    assert len(out) == 5  # 4 argful s1 assertions (dup collapsed) + 1 s2
+    assert out[("s1", "likes", "x", "dA")] == (tA, nxt[tA])
+    assert out[("s1", "likes", "y", "dA")] == (tA, nxt[tA])  # coexists with x
+    assert out[("s1", "likes", "z", "dB")] == (tB, nxt[tB])
+    assert out[("s1", "likes", "w", "dC")] == (tC, nxt[tC])
+    assert out[("s2", "runs", "m", "dA")] == (tA, OPEN_END_S)
+
+
+def test_facts_in_force_counts(spark):
+    from openie_spark.operators.temporal import facts_in_force
+
+    iv = spark.createDataFrame(
+        [
+            ("s1", "likes", "x", "d1", 100, 200),
+            ("s1", "likes", "y", "d2", 200, 300),
+            ("s2", "runs", "m", "d3", 100, 300),
+        ],
+        "subj_norm string, rel string, arg_norm string, doc_id string, "
+        "valid_from_s bigint, valid_to_s bigint",
+    )
+    rows = {r.probe_ts_s: r for r in facts_in_force(iv, (50, 100, 200, 299)).collect()}
+    assert 50 not in rows  # nothing in force → no row
+    assert (rows[100].n_facts, rows[100].n_keys, rows[100].n_subjects) == (2, 2, 2)
+    # at 200: x's interval is half-open [100, 200) → excluded; y starts
+    assert (rows[200].n_facts, rows[200].n_keys, rows[200].n_subjects) == (2, 2, 2)
+    assert rows[299].n_facts == 2
