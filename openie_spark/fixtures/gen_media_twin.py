@@ -3,7 +3,7 @@ side for ``media_features``, ``media_thumbnails`` and ``media_frames``.
 
 Same fixture discipline as gen_spec_triples / gen_dedup_twin: the twin
 shares ONLY the frozen per-item kernels (the synthetic fetch, the
-pure-stdlib BMP/PPM codec in functions/imagecodec.py, and the labeled
+pure-stdlib BMP/PPM/PNG/GIF codec in functions/imagecodec.py, and the labeled
 decode/feature stubs for codec-less formats) and re-executes the span
 explosion, fetch, decode, resize and frame-sampling loops single-process
 over plain lists.  Everything the CLUSTER adds — posexplode provenance,
@@ -198,7 +198,7 @@ def media_frame_rows(
 
 def media_features_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_features_v2_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_features_v3_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_feature_rows(sf_dir), FEATURES_PA, p)
     )
@@ -206,7 +206,7 @@ def media_features_path(sf_dir: str) -> str:
 
 def media_thumbs_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_thumbs_v2_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_thumbs_v3_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_thumb_rows(sf_dir), THUMBS_PA, p)
     )
@@ -214,7 +214,7 @@ def media_thumbs_path(sf_dir: str) -> str:
 
 def media_frames_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_frames_v2_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_frames_v3_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_frame_rows(sf_dir), FRAMES_PA, p)
     )

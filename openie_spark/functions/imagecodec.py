@@ -1,6 +1,7 @@
-"""Pure-stdlib image codecs: 24-bit BMP, binary PPM (P6), and 8-bit PNG.
+"""Pure-stdlib image codecs: 24-bit BMP, binary PPM (P6), 8-bit PNG, and
+palette GIF.
 
-The container ships no image libraries (no PIL/opencv), but these three
+The container ships no image libraries (no PIL/opencv), but these four
 formats are fully specified public formats decodable with nothing beyond
 `struct`/`zlib` and numpy — so the multimodal decode path (multimodal.py)
 can be REAL end-to-end for them instead of a stub: header parse, pixel
@@ -19,6 +20,12 @@ Formats (public specs):
     container, zlib-inflated raster, the five scanline filters (none /
     sub / up / average / paeth) reversed per spec §6.  Palette, 16-bit,
     and Adam7 images fall through to the stubs.
+  - GIF (CompuServe 87a/89a): logical screen + global/local color table,
+    variable-width LZW (LSB-first bit packing, clear/end codes, 12-bit
+    cap with deferred-clear table freeze), 4-pass interlace supported on
+    decode; FIRST frame only (extensions skipped).  GIF is an indexed
+    format — the encoder derives a palette from the pixels and refuses
+    > 256 distinct colors (callers quantize first).
 
 All functions work on/return raw top-down RGB byte buffers (h*w*3).
 """
@@ -237,6 +244,197 @@ def decode_png(data: bytes) -> tuple[int, int, bytes] | None:
 
 
 # ---------------------------------------------------------------------------
+# GIF (87a/89a 'GIF' + version, palette-indexed, variable-width LZW —
+# CompuServe spec; LSB-first bit packing, 12-bit code cap)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """GIF-flavor LZW over palette indices.  Codes start at mcs+1 bits and
+    widen when the NEXT table code would not fit (mirror of the decoder's
+    bump-on-table-size rule, derived below); at the 4096-entry cap the
+    table freezes (deferred clear — the decoder freezes at the same
+    point, keeping the streams in lockstep)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    buf = nbits = 0
+
+    def emit(code: int, w: int) -> None:
+        nonlocal buf, nbits
+        buf |= code << nbits
+        nbits += w
+        while nbits >= 8:
+            out.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+
+    d = {bytes([i]): i for i in range(1 << mcs)}
+    nxt, w = end + 1, mcs + 1
+    emit(clear, w)
+    seq = b""
+    for k in indices:
+        cand = seq + bytes([k])
+        if cand in d:
+            seq = cand
+            continue
+        emit(d[seq], w)
+        # encoder adds entry n right after emitting code n; the decoder
+        # adds entry n-1 right after reading code n — so the decoder's
+        # table size when READING code n+1 is nxt-1, and its
+        # bump-at-2^w rule lands here as nxt == 2^w + 1
+        if nxt < 4096:
+            d[cand] = nxt
+            nxt += 1
+            if nxt == (1 << w) + 1 and w < 12:
+                w += 1
+        seq = bytes([k])
+    if seq:
+        emit(d[seq], w)
+    emit(end, w)
+    if nbits:
+        out.append(buf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, mcs: int, npix: int) -> bytes | None:
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    base = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    table = list(base)
+    w = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    buf = nbits = i = 0
+    while len(out) < npix:
+        while nbits < w:
+            if i >= len(data):
+                return None
+            buf |= data[i] << nbits
+            i += 1
+            nbits += 8
+        code = buf & ((1 << w) - 1)
+        buf >>= w
+        nbits -= w
+        if code == clear:
+            table = list(base)
+            w = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if code < len(table) and (code < clear or code > end):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            return None
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << w) and w < 12:
+                w += 1
+        prev = entry
+    return bytes(out[:npix]) if len(out) >= npix else None
+
+
+def encode_gif(width: int, height: int, rgb: bytes) -> bytes:
+    """GIF89a encoder: palette derived from the pixels (<= 256 distinct
+    colors or ValueError — GIF is an indexed format; true-color callers
+    quantize first), global color table only, one non-interlaced frame,
+    real LZW."""
+    if len(rgb) != width * height * 3:
+        raise ValueError(f"encode_gif: need {width * height * 3} bytes, got {len(rgb)}")
+    img = np.frombuffer(rgb, np.uint8).reshape(-1, 3)
+    colors, inverse = np.unique(img, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError(f"encode_gif: {len(colors)} distinct colors > 256")
+    bits = max(1, (len(colors) - 1).bit_length())  # GCT = 2^bits entries
+    pal = np.zeros((1 << bits, 3), np.uint8)
+    pal[: len(colors)] = colors
+    mcs = max(2, bits)
+    packed = 0x80 | ((bits - 1) & 7)  # GCT present, size field = bits-1
+    head = b"GIF89a" + struct.pack("<HHBBB", width, height, packed, 0, 0)
+    desc = b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+    lzw = _lzw_encode(inverse.astype(np.uint8).tobytes(), mcs)
+    blocks = bytearray([mcs])
+    for j in range(0, len(lzw), 255):
+        chunk = lzw[j : j + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+    return head + pal.tobytes() + desc + bytes(blocks) + b"\x3b"
+
+
+def decode_gif(data: bytes) -> tuple[int, int, bytes] | None:
+    """First frame of a GIF87a/89a → top-down RGB.  Local color table
+    overrides global; 4-pass interlace reordered; extensions (GCE,
+    comments, app blocks) skipped; later frames ignored.  Malformed
+    payloads return None (the sniff-and-fall-back contract)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    try:
+        _sw, _sh, packed, _bg, _par = struct.unpack_from("<HHBBB", data, 6)
+        i = 13
+        gct = None
+        if packed & 0x80:
+            n = 2 << (packed & 7)
+            gct = np.frombuffer(data, np.uint8, count=3 * n, offset=i).reshape(n, 3)
+            i += 3 * n
+        while i < len(data):
+            b0 = data[i]
+            if b0 == 0x21:  # extension: label then 0-terminated sub-blocks
+                i += 2
+                while data[i] != 0:
+                    i += 1 + data[i]
+                i += 1
+            elif b0 == 0x2C:  # image descriptor
+                _l, _t, w, h, ip = struct.unpack_from("<HHHHB", data, i + 1)
+                i += 10
+                pal = gct
+                if ip & 0x80:
+                    n = 2 << (ip & 7)
+                    pal = np.frombuffer(
+                        data, np.uint8, count=3 * n, offset=i
+                    ).reshape(n, 3)
+                    i += 3 * n
+                if pal is None or w <= 0 or h <= 0:
+                    return None
+                mcs = data[i]
+                i += 1
+                if not 2 <= mcs <= 11:
+                    return None
+                chunks = []
+                while data[i] != 0:
+                    ln = data[i]
+                    chunks.append(data[i + 1 : i + 1 + ln])
+                    i += 1 + ln
+                idx = _lzw_decode(b"".join(chunks), mcs, w * h)
+                if idx is None:
+                    return None
+                arr = np.frombuffer(idx, np.uint8)
+                if int(arr.max(initial=0)) >= len(pal):
+                    return None
+                img = pal[arr].reshape(h, w, 3)
+                if ip & 0x40:  # 4-pass interlace: stored rows -> display rows
+                    order = (
+                        list(range(0, h, 8))
+                        + list(range(4, h, 8))
+                        + list(range(2, h, 4))
+                        + list(range(1, h, 2))
+                    )
+                    disp = np.empty_like(img)
+                    disp[order] = img
+                    img = disp
+                return w, h, img.tobytes()
+            elif b0 == 0x3B:
+                break
+            else:
+                return None
+    except (struct.error, IndexError, ValueError):
+        return None
+    return None
+
+
+# ---------------------------------------------------------------------------
 # sniff / resize / features
 # ---------------------------------------------------------------------------
 
@@ -250,6 +448,8 @@ def decode_image(data: bytes) -> tuple[int, int, bytes] | None:
         return decode_bmp(data)
     if data[: len(_PNG_SIG)] == _PNG_SIG:
         return decode_png(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     return None
 
 

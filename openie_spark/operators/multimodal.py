@@ -3,12 +3,13 @@
 The container ships no image/audio libraries, so decode is split by
 format capability:
 
-  - **REAL decode** for 24-bit BMP, binary PPM (P6), and 8-bit PNG via the pure-stdlib
-    codec in functions/imagecodec.py — header parse, pixel decode,
-    nearest-neighbor resize, and luminance-histogram features all compute
-    from actual pixels, end-to-end through the Spark plan.  The synthetic
-    fetch rotates image payloads over all three containers, so every
-    codec runs e2e in the tests and registry queries.
+  - **REAL decode** for 24-bit BMP, binary PPM (P6), 8-bit PNG, and
+    palette GIF via the pure-stdlib codec in functions/imagecodec.py —
+    header parse, pixel decode (incl. GIF LZW), nearest-neighbor resize,
+    and luminance-histogram features all compute from actual pixels,
+    end-to-end through the Spark plan.  The synthetic fetch rotates image
+    payloads over all four containers, so every codec runs e2e in the
+    tests and registry queries.
   - **Deterministic STUBS** (clearly marked) for every other format
     (JPEG/audio/video need codec deps).  Swapping a stub for
     PIL/ffmpeg changes one inner function, not the plan.
@@ -115,24 +116,35 @@ def media_spans(docs: DataFrame) -> DataFrame:
 
 def _synth_image(media_ref: str) -> bytes:
     """Deterministic REAL image payload for an image span: dims and pixels
-    derive from the ref hash, and the CONTAINER rotates over PPM/BMP/PNG
-    (h[10] % 3) — so every pure-stdlib codec is driven by the e2e media
-    path, not just by unit tests.  Pixel content is container-invariant;
-    only n_bytes differs per format."""
-    from openie_spark.functions.imagecodec import encode_bmp, encode_png, encode_ppm
+    derive from the ref hash, and the CONTAINER rotates over
+    PPM/BMP/PNG/GIF (h[10] % 4) — so every pure-stdlib codec is driven by
+    the e2e media path, not just by unit tests.  The true-color containers
+    share identical pixel content; the GIF branch draws its pixels from a
+    ref-derived 64-color palette instead (GIF is an indexed format — the
+    encoder refuses true-color input by design)."""
+    from openie_spark.functions.imagecodec import (
+        encode_bmp,
+        encode_gif,
+        encode_png,
+        encode_ppm,
+    )
 
     h = hashlib.sha256(media_ref.encode()).digest()
     w, hgt = 8 + h[0] % 56, 8 + h[1] % 56
     rng = np.random.default_rng(int.from_bytes(h[2:10], "big"))
+    if h[10] % 4 == 3:
+        pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+        rgb = pal[rng.integers(0, 64, w * hgt)].tobytes()
+        return encode_gif(w, hgt, rgb)
     rgb = rng.integers(0, 256, w * hgt * 3, dtype=np.uint8).tobytes()
-    return (encode_ppm, encode_bmp, encode_png)[h[10] % 3](w, hgt, rgb)
+    return (encode_ppm, encode_bmp, encode_png)[h[10] % 4](w, hgt, rgb)
 
 
 def fetch_media_bytes(media: DataFrame) -> DataFrame:
     """SYNTHETIC fetch: real deployments read from object storage by
     media_ref — which is a per-row Python/connector task, so a Python
     fence here matches the plan shape of the real thing.  Image spans get
-    a real decodable PPM/BMP/PNG payload (deterministic from the ref);
+    a real decodable PPM/BMP/PNG/GIF payload (deterministic from the ref);
     audio/video get sha256-seeded opaque bytes (no pure-stdlib codec
     exists for them)."""
     out_schema = MEDIA_SCHEMA
@@ -179,7 +191,7 @@ def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 def decode_media(media_with_bytes: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extraction over Arrow batches.  Images
-    in a supported format (BMP/PPM/PNG) get a REAL decode + pixel features;
+    in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel features;
     everything else falls back to the stubs."""
     from openie_spark.functions.imagecodec import decode_image, rgb_features
 
@@ -225,7 +237,7 @@ def media_feature_stage(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# resize / frame-sample (BMP/PPM/PNG resize is REAL pixels; other formats keep
+# resize / frame-sample (BMP/PPM/PNG/GIF resize is REAL pixels; other formats keep
 # the stub discipline: Spark plumbing real, codec kernels replaceable one
 # function at a time)
 # ---------------------------------------------------------------------------
@@ -259,7 +271,7 @@ def _resize_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
 
 def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame:
     """Aspect-preserving thumbnail pass over image spans (mapInPandas).
-    Supported formats (BMP/PPM/PNG) run a REAL nearest-neighbor downscale and
+    Supported formats (BMP/PPM/PNG/GIF) run a REAL nearest-neighbor downscale and
     emit the thumbnail re-encoded as PPM; unknown formats use the stub."""
     from openie_spark.functions.imagecodec import (
         decode_image,

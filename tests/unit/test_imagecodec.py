@@ -99,7 +99,9 @@ def test_media_feature_stage_uses_real_decode(spark, golden_docs_path):
     assert rows
     for r in rows:
         assert 8 <= r["width"] < 64 and 8 <= r["height"] < 64
-        assert r["n_bytes"] > r["width"] * r["height"] * 3  # header + raster
+        # PPM/BMP carry the full raster (+header); PNG/GIF compress, but
+        # even their container overhead keeps a real payload non-trivial
+        assert r["n_bytes"] > 100
 
 
 def test_resize_images_real_thumbnails_decode_back(spark, golden_docs_path):
@@ -264,3 +266,75 @@ def test_png_malformed_falls_through_to_none():
         + _png_chunk(b"IEND", b"")
     )
     assert decode_png(data) is None
+
+
+# ---------------------------------------------------------------------------
+# GIF (palette + variable-width LZW + interlace)
+# ---------------------------------------------------------------------------
+
+
+def _pal_image(seed: int, w: int, h: int, ncolors: int = 61):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (ncolors, 3), dtype=np.uint8)
+    return pal[rng.integers(0, ncolors, w * h)].tobytes()
+
+
+def test_gif_roundtrip_and_sniff():
+    from openie_spark.functions.imagecodec import decode_gif, encode_gif
+
+    # 61 colors + 120x97 forces LZW code-width growth past mcs+1
+    rgb = _pal_image(7, 120, 97)
+    g = encode_gif(120, 97, rgb)
+    assert g[:6] == b"GIF89a"
+    assert decode_gif(g) == (120, 97, rgb)
+    assert decode_image(g) == (120, 97, rgb)
+    # degenerate palettes: 1 color (bits floor) and 2 colors
+    one = b"\x05\x06\x07" * 12
+    assert decode_gif(encode_gif(4, 3, one)) == (4, 3, one)
+    two = b"\x00\x00\x00\xff\xff\xff" * 8
+    assert decode_gif(encode_gif(4, 4, two)) == (4, 4, two)
+
+
+def test_gif_lzw_table_cap_roundtrip():
+    """A long 256-symbol structured stream drives the LZW table to the
+    4096-entry cap — encoder and decoder must freeze it at the same code
+    (deferred clear) or the streams desync."""
+    from openie_spark.functions.imagecodec import _lzw_decode, _lzw_encode
+
+    seq = bytes((i * 7 + (i * i) // 3) % 256 for i in range(100_000))
+    assert _lzw_decode(_lzw_encode(seq, 8), 8, len(seq)) == seq
+
+
+def test_gif_interlaced_decode():
+    """Hand-build an interlaced GIF: store display rows in 4-pass order and
+    set the interlace bit; the decoder must reorder them back."""
+    from openie_spark.functions.imagecodec import decode_gif, encode_gif
+
+    w, h = 9, 13
+    rgb = _pal_image(11, w, h, ncolors=17)
+    rows = np.frombuffer(rgb, np.uint8).reshape(h, w * 3)
+    order = (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+    stored = rows[order].tobytes()  # what an interlaced writer would store
+    g = bytearray(encode_gif(w, h, stored))
+    bits = (g[10] & 7) + 1  # GCT size field -> palette entries = 2^bits
+    ip_off = 13 + 3 * (1 << bits) + 9  # header + GCT + 0x2c + 8 geom bytes
+    assert g[ip_off - 9] == 0x2C
+    g[ip_off] |= 0x40  # interlace flag
+    assert decode_gif(bytes(g)) == (w, h, rgb)
+
+
+def test_gif_malformed_falls_through_to_none():
+    from openie_spark.functions.imagecodec import decode_gif, encode_gif
+
+    g = encode_gif(6, 5, _pal_image(3, 6, 5, ncolors=9))
+    assert decode_gif(g[:30]) is None  # truncated mid-palette/descriptor
+    assert decode_gif(b"GIF89a") is None
+    assert decode_gif(b"nope") is None
+    # >256 distinct colors must be refused at encode time
+    rng = np.random.default_rng(1)
+    true_color = rng.integers(0, 256, 32 * 32 * 3, dtype=np.uint8).tobytes()
+    with pytest.raises(ValueError):
+        encode_gif(32, 32, true_color)
