@@ -197,3 +197,67 @@ def test_facts_in_force_counts(spark):
     # at 200: x's interval is half-open [100, 200) → excluded; y starts
     assert (rows[200].n_facts, rows[200].n_keys, rows[200].n_subjects) == (2, 2, 2)
     assert rows[299].n_facts == 2
+
+
+def test_temporal_kg_random_bruteforce(spark):
+    """Randomized cross-check (fixed seed, 300 assertions over a small key
+    space — dense enough to hit duplicate keys, simultaneous assertions,
+    and singleton keys): intervals and in-force counts must equal a
+    pure-Python replay of the declared succession semantics."""
+    import random
+    from collections import defaultdict
+
+    from openie_spark.operators.temporal import (
+        KG_PROBE_INSTANTS,
+        OPEN_END_S,
+        facts_in_force,
+        triple_validity_intervals,
+    )
+
+    rnd = random.Random(42)
+    docs = [f"d{i:03d}" for i in range(40)]
+    rows = [
+        (
+            rnd.choice(docs),
+            rnd.choice(["s1", "s2", "s3", "s4", "s5"]),
+            rnd.choice(["r1", "r2", "r3"]),
+            rnd.choice([f"a{i}" for i in range(7)]),
+            "SVO",
+        )
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id string, subj_norm string, rel string, arg_norm string, clause_type string",
+    )
+
+    ts = {d: _h60_ts(d) for d in docs}
+    assertions = sorted({(s, r, a, d) for d, s, r, a, _ in rows})
+    inst = defaultdict(set)
+    for s, r, a, d in assertions:
+        inst[(s, r)].add(ts[d])
+    expected = {}
+    for s, r, a, d in assertions:
+        t0 = ts[d]
+        later = sorted(t for t in inst[(s, r)] if t > t0)
+        expected[(s, r, a, d)] = (t0, later[0] if later else OPEN_END_S)
+
+    iv = triple_validity_intervals(df)
+    got = {
+        (x.subj_norm, x.rel, x.arg_norm, x.doc_id): (x.valid_from_s, x.valid_to_s)
+        for x in iv.collect()
+    }
+    assert got == expected
+
+    force = {
+        x.probe_ts_s: (x.n_facts, x.n_keys, x.n_subjects)
+        for x in facts_in_force(iv, KG_PROBE_INSTANTS).collect()
+    }
+    for t in KG_PROBE_INSTANTS:
+        live = [k for k, (f, to) in expected.items() if f <= t < to]
+        want = (
+            len(live),
+            len({(s, r) for s, r, _a, _d in live}),
+            len({s for s, _r, _a, _d in live}),
+        )
+        assert force.get(t, (0, 0, 0)) == (want if live else (0, 0, 0))
