@@ -267,6 +267,16 @@ def main() -> int:
         "rule_support",
         lambda: force(registry.q_rule_support(spark, sf_dir)),
     )
+    # r4 additions: the 6-table star join (TPC-H Q5 shape) and the
+    # deterministic DeepWalk corpus (3 edge scans + map-side min aggs).
+    timed(
+        "supplier_volume",
+        lambda: force(registry.q_supplier_volume(spark, sf_dir)),
+    )
+    timed(
+        "kg_walks",
+        lambda: force(registry.q_kg_walks(spark, sf_dir)),
+    )
 
     # Post-run probe: a window can degrade MID-run (BENCH r4: probe-ok at
     # start, warm-touch collapsed during the suite and inflated the

@@ -3157,6 +3157,129 @@ ORDER BY c.head, c.tail, c.neg_rank
 """
 
 
+# TPC-H Q5 constants: one region, one order year (half-open range so the
+# predicate pushes to the parquet scan as plain timestamp bounds).
+SV_REGION = "ASIA"
+SV_DATE_LO = "1997-01-01"
+SV_DATE_HI = "1998-01-01"
+
+
+def q_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-50/51/60 composition — the classic 6-table star join (TPC-H Q5
+    shape, public spec): revenue per nation, one order year, one region,
+    customer and supplier in the SAME nation.
+
+    Exact money: price→cents and discount→basis-points are each exact
+    per-column roundings (the registry money rule), so
+    revenue_micro = cents * (10000 - bp) is a pure bigint product both
+    engines replay bit-for-bit (micro-dollars).
+
+    Scale shape: the dimension chain region→nation→supplier is pruned
+    FIRST and broadcast (region filter cuts nations to one region, which
+    cuts suppliers ~5×, before any fact row moves); the date filter
+    pushes to the orders parquet scan as timestamp bounds; the two fact
+    joins shuffle on their natural keys (custkey, then orderkey); the
+    final agg is map-side combinable and nation-bounded."""
+    r = load(spark, sf_dir, "region").where(F.col("r_name") == SV_REGION)
+    n = (
+        load(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= F.lit(SV_DATE_LO))
+            & (F.col("o_orderdate") < F.lit(SV_DATE_HI))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    oc = o.join(c, o["o_custkey"] == c["c_custkey"])
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    bp = F.round(F.col("l_discount") * 10000).cast("bigint")
+    return (
+        li.join(oc, li["l_orderkey"] == oc["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (oc["c_nationkey"] == s["s_nationkey"]),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents * (F.lit(10000) - bp)).alias("revenue_micro"),
+            F.count("*").alias("n_rows"),
+        )
+        .orderBy(F.desc("revenue_micro"), "n_name")
+    )
+
+
+SQL_SUPPLIER_VOLUME = f"""
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (10000 - CAST(ROUND(l_discount * 10000) AS BIGINT)))
+            AS BIGINT) AS revenue_micro,
+       COUNT(*) AS n_rows
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = '{SV_REGION}'
+  AND o_orderdate >= TIMESTAMP '{SV_DATE_LO}'
+  AND o_orderdate <  TIMESTAMP '{SV_DATE_HI}'
+GROUP BY n_name
+ORDER BY revenue_micro DESC, n_name
+"""
+
+
+# kg_walks seed rule: every 10th customer (deterministic, engine-portable
+# modulus on the raw key) — a bounded sample so the frontier broadcasts;
+# see operators/walks.py for the walks-from-every-node regime.
+KG_WALKS_SEED_MOD = 10
+
+
+def q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style deterministic random-walk corpus over the star KG
+    (operators/walks.py): hash-argmin next-step selection makes the walk
+    corpus a pure function of the graph, reproducible across engines —
+    so even this classically-sampled op is fully oracle-checked.  Scale
+    shape is the operator's: per step, one edge scan + a map-side-
+    combinable min agg; no edge shuffle (frontier broadcasts)."""
+    from openie_spark.operators.walks import random_walks
+
+    edges = star_kg_edges(spark, sf_dir)
+    seeds = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % KG_WALKS_SEED_MOD == 0)
+        .select(
+            (
+                F.col("c_custkey").cast("long") * 8 + ENTITY_TYPE_CODES["customer"]
+            ).alias("id")
+        )
+    )
+    return random_walks(edges, seeds).orderBy("walk_id", "step")
+
+
+def _kg_walks_sql() -> str:
+    from openie_spark.operators.walks import random_walks_sql
+
+    seeds = (
+        f"SELECT c_custkey * 8 + {ENTITY_TYPE_CODES['customer']} AS id "
+        f"FROM customer WHERE c_custkey % {KG_WALKS_SEED_MOD} = 0"
+    )
+    return random_walks_sql(STAR_KG_EDGES_SQL, seeds)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3234,6 +3357,8 @@ QUERIES = {
     "mis": q_mis,
     "dup_ngram_stats": q_dup_ngram_stats,
     "domain_mix": q_domain_mix,
+    "supplier_volume": q_supplier_volume,
+    "kg_walks": q_kg_walks,
 }
 
 ORACLE_SQL = {
@@ -3293,6 +3418,8 @@ ORACLE_SQL = {
     "mis": _mis_sql(),
     "dup_ngram_stats": _dup_ngram_stats_sql(),
     "domain_mix": _domain_mix_sql(),
+    "supplier_volume": SQL_SUPPLIER_VOLUME,
+    "kg_walks": _kg_walks_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
