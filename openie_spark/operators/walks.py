@@ -27,9 +27,10 @@ one partial-min row per walk per task before any exchange.  The
 symmetrized edge set is materialized once (localCheckpoint) since it
 feeds walk_len scans.  For the walks-from-EVERY-node regime
 (n_walks ≈ n_nodes, the full DeepWalk corpus) the broadcast no longer
-fits: shuffle-join frontier ⋈ edges on node and salt hub nodes
-(operators/skew.py) — the hash selection is oblivious to physical
-planning, so both plans are bit-identical.
+fits: ``broadcast_frontier=False`` shuffle-joins frontier ⋈ edges on
+the node, salting hub heads (operators/skew.py) — the hash selection
+is oblivious to physical planning, so both plans are bit-identical
+(gated in tests/unit/test_walks.py).
 """
 
 from __future__ import annotations
@@ -38,6 +39,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openie_spark.functions.hashing import portable_hash60
+from openie_spark.operators.skew import hot_keys, salted_join
 
 WALK_LEN = 3
 WALKS_PER_SEED = 2
@@ -62,6 +64,8 @@ def random_walks(
     seeds: DataFrame,
     walk_len: int = WALK_LEN,
     walks_per_seed: int = WALKS_PER_SEED,
+    broadcast_frontier: bool = True,
+    n_salt: int = 16,
 ) -> DataFrame:
     """Hash-deterministic walks over the symmetrized ``edges``.
 
@@ -72,8 +76,20 @@ def random_walks(
     Returns (walk_id bigint, step int, pred string, node bigint) — one
     row per visited node; pred is the arc label used to arrive (the
     literal 'seed' at step 0, so the column is never NULL).
+
+    ``broadcast_frontier=False`` is the walks-from-EVERY-node plan: the
+    frontier no longer fits a broadcast, so each step shuffle-joins
+    frontier ⋈ edges on the node, salting hub heads (skew.salted_join;
+    hot heads detected ONCE on the symmetrized table — graph-static, so
+    the scan is not per-step).  Hub skew matters here in a way it cannot
+    in the broadcast plan: a sort-merge join lands all of a hub's
+    (out-degree × walks-standing-on-it) candidate rows in one partition
+    before the walk_id partial-min can shrink them.  The hash selection
+    never sees physical planning, so both plans are bit-identical
+    (tests/unit/test_walks.py gates it).
     """
     sym = symmetrize(edges).localCheckpoint()
+    hot = [] if broadcast_frontier else hot_keys(sym, "head")
     frontier = seeds.select(
         "id", F.explode(F.sequence(F.lit(0), F.lit(walks_per_seed - 1))).alias("j")
     ).select(
@@ -87,7 +103,17 @@ def random_walks(
         "node",
     )
     for s in range(1, walk_len + 1):
-        cand = sym.join(F.broadcast(frontier), sym["head"] == frontier["node"])
+        if broadcast_frontier:
+            cand = sym.join(F.broadcast(frontier), sym["head"] == frontier["node"])
+        else:
+            cand = salted_join(
+                sym,
+                frontier.withColumnRenamed("node", "head"),
+                "head",
+                hot,
+                n_salt=n_salt,
+                salt_src=["tail", "pred"],
+            )
         pick = cand.groupBy("walk_id").agg(
             F.min(
                 F.struct(
@@ -114,6 +140,47 @@ def random_walks(
         out = out.unionByName(step_rows)
         frontier = step_rows.select("walk_id", "node")
     return out
+
+
+SKIPGRAM_WINDOW = 2
+
+
+def skipgram_pairs(walks: DataFrame, window: int = SKIPGRAM_WINDOW) -> DataFrame:
+    """(src, dst) co-occurrence counts from a walk corpus — the skip-gram
+    training pairs DeepWalk feeds to word2vec (center node, context node
+    within ±``window`` steps on the same walk; direction kept, so the
+    pair relation is symmetric row-wise, not collapsed).
+
+    Scale shape: a self-join keyed on walk_id — per-key fan-out is
+    bounded by (walk_len+1) × 2·window regardless of graph size or hub
+    structure (walks are fixed-length), and the count agg partial-
+    aggregates map-side, so the only real exchange is the final
+    (src, dst) group — vocabulary-bounded output."""
+    a = walks.select(
+        "walk_id", F.col("step").alias("s_src"), F.col("node").alias("src")
+    )
+    b = walks.select(
+        "walk_id", F.col("step").alias("s_dst"), F.col("node").alias("dst")
+    )
+    d = F.abs(F.col("s_src") - F.col("s_dst"))
+    return (
+        a.join(b, "walk_id")
+        .where((d >= 1) & (d <= window))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def skipgram_pairs_sql(walks_sql: str, window: int = SKIPGRAM_WINDOW) -> str:
+    """DuckDB twin of :func:`skipgram_pairs` (lockstep constants)."""
+    return f"""
+WITH walks AS ({walks_sql})
+SELECT a.node AS src, b.node AS dst, COUNT(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id
+ AND abs(a.step - b.step) BETWEEN 1 AND {window}
+GROUP BY a.node, b.node
+"""
 
 
 def random_walks_sql(

@@ -3280,6 +3280,36 @@ def _kg_walks_sql() -> str:
     return random_walks_sql(STAR_KG_EDGES_SQL, seeds)
 
 
+def q_kg_skipgrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram training pairs from the deterministic walk corpus
+    (operators/walks.py:skipgram_pairs) — the corpus→word2vec-input step
+    of the DeepWalk pipeline.  The walk steps are localCheckpointed
+    inside random_walks, so the self-join's two branches re-read
+    materialized step frames instead of re-running the walk loop."""
+    from openie_spark.operators.walks import random_walks, skipgram_pairs
+
+    edges = star_kg_edges(spark, sf_dir)
+    seeds = (
+        load(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % KG_WALKS_SEED_MOD == 0)
+        .select(
+            (
+                F.col("c_custkey").cast("long") * 8 + ENTITY_TYPE_CODES["customer"]
+            ).alias("id")
+        )
+    )
+    return skipgram_pairs(random_walks(edges, seeds)).orderBy("src", "dst")
+
+
+def _kg_skipgrams_sql() -> str:
+    from openie_spark.operators.walks import skipgram_pairs_sql
+
+    return (
+        skipgram_pairs_sql(_kg_walks_sql().replace("ORDER BY walk_id, step", ""))
+        + "ORDER BY src, dst"
+    )
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3359,6 +3389,7 @@ QUERIES = {
     "domain_mix": q_domain_mix,
     "supplier_volume": q_supplier_volume,
     "kg_walks": q_kg_walks,
+    "kg_skipgrams": q_kg_skipgrams,
 }
 
 ORACLE_SQL = {
@@ -3420,6 +3451,7 @@ ORACLE_SQL = {
     "domain_mix": _domain_mix_sql(),
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "kg_walks": _kg_walks_sql(),
+    "kg_skipgrams": _kg_skipgrams_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

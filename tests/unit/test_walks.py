@@ -8,7 +8,11 @@ import hashlib
 
 from pyspark.sql import functions as F
 
-from openie_spark.operators.walks import random_walks, symmetrize
+from openie_spark.operators.walks import (
+    random_walks,
+    skipgram_pairs,
+    symmetrize,
+)
 
 EDGES = [
     ("knows", 1, 2),
@@ -92,6 +96,49 @@ def test_deterministic_across_parallelism(spark):
     assert _run(spark, EDGES, SEEDS, n_parts=1) == _run(
         spark, EDGES, SEEDS, n_parts=7
     )
+
+
+def test_shuffle_plan_bit_identical_to_broadcast(spark):
+    """The walks-from-every-node plan (broadcast_frontier=False, salted
+    shuffle join on hub heads — node 9 is the hub) must produce the
+    byte-identical corpus: hash selection is physical-plan-oblivious."""
+    e = spark.createDataFrame(EDGES, "pred string, head bigint, tail bigint")
+    s = spark.createDataFrame([(x,) for x in SEEDS], "id bigint")
+
+    def corpus(**kw):
+        df = random_walks(e, s, walk_len=4, walks_per_seed=3, **kw)
+        return sorted(map(tuple, df.collect()))
+
+    assert corpus(broadcast_frontier=True) == corpus(
+        broadcast_frontier=False, n_salt=4
+    )
+
+
+def test_skipgram_pairs_matches_python_reference(spark):
+    walk_len, wps, window = 3, 2, 2
+    e = spark.createDataFrame(EDGES, "pred string, head bigint, tail bigint")
+    s = spark.createDataFrame([(x,) for x in SEEDS], "id bigint")
+    got = sorted(
+        map(
+            tuple,
+            skipgram_pairs(
+                random_walks(e, s, walk_len=walk_len, walks_per_seed=wps),
+                window=window,
+            ).collect(),
+        )
+    )
+    # replay: pairs within +-window on the same walk, direction kept
+    rows = _reference(EDGES, SEEDS, walk_len, wps)
+    by_walk: dict[int, list[tuple[int, int]]] = {}
+    for wid, step, _, node in rows:
+        by_walk.setdefault(wid, []).append((step, node))
+    counts: dict[tuple[int, int], int] = {}
+    for seq in by_walk.values():
+        for s1, u in seq:
+            for s2, v in seq:
+                if 1 <= abs(s1 - s2) <= window:
+                    counts[(u, v)] = counts.get((u, v), 0) + 1
+    assert got == sorted((u, v, n) for (u, v), n in counts.items())
 
 
 def test_symmetrize_preserves_direction_labels(spark):
