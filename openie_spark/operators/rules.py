@@ -74,11 +74,17 @@ def rule_support(
 
     NOTE: eagerly materializes the (pred-encoded) edge set via
     localCheckpoint at call time — see module docstring for why."""
-    # deterministic predicate dictionary (vocabulary-bounded, broadcast)
+    # deterministic predicate dictionary (vocabulary-bounded, broadcast).
+    # Materialized once: it has FOUR consumers (the encode join + three
+    # decode joins) and without the cut each one re-derives the dict from
+    # scratch — a full scan of the raw `edges` relation (which may itself
+    # be a composed multi-join plan) per consumer, plus the
+    # single-partition ranking window each time.
     preds = (
         edges.select("pred")
         .distinct()
         .withColumn("pid", F.row_number().over(Window.orderBy("pred")).cast("int"))
+        .localCheckpoint()
     )
     enc = (
         edges.join(F.broadcast(preds), "pred")
