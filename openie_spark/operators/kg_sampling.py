@@ -55,17 +55,25 @@ def negative_samples(
 
     Output: (head, tail, neg_rank, neg_tail) with neg_rank = j.
     """
-    e = edges.select(F.col(head_col).alias("head"), F.col(tail_col).alias("tail"))
+    # Materialized once: `e` has THREE consumers (vocab build, candidate
+    # explode, filtered-setting anti-join) and the caller's relation may
+    # be a composed plan (the registry feeds a distinct over lineitem) —
+    # without the cut each consumer re-runs it (rules.py precedent).
+    e = edges.select(
+        F.col(head_col).alias("head"), F.col(tail_col).alias("tail")
+    ).localCheckpoint()
 
     # Vocabulary index: tail entities, densely numbered by a total order.
     # The global-sort window runs over the ENTITY vocabulary only (same
     # bounded-side argument as the IVF centroid collect, similarity.py).
+    # Also materialized: consumed by the count() below AND the join.
     vocab = (
         e.select("tail").distinct()
         .select(
             (F.row_number().over(Window.orderBy("tail")) - 1).alias("neg_idx"),
             F.col("tail").alias("neg_tail"),
         )
+        .localCheckpoint()
     )
     n_vocab = vocab.count()  # one vocab-bounded job; reused as a plain literal
 
