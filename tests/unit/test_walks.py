@@ -141,6 +141,31 @@ def test_skipgram_pairs_matches_python_reference(spark):
     assert got == sorted((u, v, n) for (u, v), n in counts.items())
 
 
+def test_randomized_graph_matches_reference(spark):
+    """Seeded random graph (dense small node space: parallel arcs under
+    different preds, self-loops, hubs arise naturally) — both physical
+    plans must equal the pure-Python replay of the hash-argmin walk."""
+    import random
+
+    rnd = random.Random(42)
+    preds = ["knows", "likes", "cites"]
+    edges = sorted(
+        {
+            (rnd.choice(preds), rnd.randrange(12), rnd.randrange(12))
+            for _ in range(60)
+        }
+    )
+    seeds = sorted({rnd.randrange(12) for _ in range(5)})
+    ref = _reference(edges, seeds, 4, 2)
+    assert _run(spark, edges, seeds, walk_len=4, walks_per_seed=2) == ref
+    e = spark.createDataFrame(edges, "pred string, head bigint, tail bigint")
+    s = spark.createDataFrame([(x,) for x in seeds], "id bigint")
+    shuffled = random_walks(
+        e, s, walk_len=4, walks_per_seed=2, broadcast_frontier=False, n_salt=3
+    )
+    assert sorted(map(tuple, shuffled.collect())) == ref
+
+
 def test_symmetrize_preserves_direction_labels(spark):
     e = spark.createDataFrame(EDGES, "pred string, head bigint, tail bigint")
     sym = symmetrize(e)
