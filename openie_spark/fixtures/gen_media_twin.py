@@ -67,10 +67,11 @@ FRAMES_PA = pa.schema(
 
 def _media_items(sf_dir: str) -> list[tuple[str, int, str, str, bytes]]:
     """(doc_id, span_pos, kind, media_ref, content) per non-text span —
-    the twin of media_spans → fetch_media_bytes."""
+    the twin of media_spans → fetch_media_bytes (the fetch kernel itself
+    is the shared single home ``synth_media_bytes``)."""
     from openie_spark.fixtures.gen_docs import docs_interleaved
     from openie_spark.fixtures.gen_golden import golden_docs
-    from openie_spark.operators.multimodal import _synth_image
+    from openie_spark.operators.multimodal import synth_media_bytes
 
     items = []
     for d in docs_interleaved(sf_dir) + golden_docs():
@@ -78,16 +79,18 @@ def _media_items(sf_dir: str) -> list[tuple[str, int, str, str, bytes]]:
             if s["kind"] == "text":
                 continue
             ref = s["media_ref"]
-            content = (
-                _synth_image(ref)
-                if s["kind"] == "image"
-                else hashlib.sha256(ref.encode()).hexdigest().encode()
+            items.append(
+                (d["doc_id"], pos, s["kind"], ref, synth_media_bytes(s["kind"], ref))
             )
-            items.append((d["doc_id"], pos, s["kind"], ref, content))
     return items
 
 
 def media_feature_rows(sf_dir: str) -> list[dict]:
+    from openie_spark.functions.audiocodec import (
+        decode_wav,
+        pcm_features,
+        wav_duration_ms,
+    )
     from openie_spark.functions.imagecodec import decode_image, rgb_features
     from openie_spark.operators.multimodal import (
         FEATURE_DIM,
@@ -109,7 +112,13 @@ def media_feature_rows(sf_dir: str) -> list[dict]:
             else:
                 width, height = _decode_image_stub(content)
         elif kind == "audio":
-            duration = _decode_audio_stub(content)
+            wav = decode_wav(content)
+            if wav is not None:
+                rate, ch, samples = wav
+                duration = wav_duration_ms(rate, ch, samples)
+                feature = pcm_features(samples, ch, FEATURE_DIM)
+            else:
+                duration = _decode_audio_stub(content)
         rows.append(
             {
                 "doc_id": doc_id,
@@ -167,17 +176,24 @@ def media_thumb_rows(sf_dir: str, max_side: int = 256) -> list[dict]:
 def media_frame_rows(
     sf_dir: str, every_ms: int = 1000, max_frames: int = 8
 ) -> list[dict]:
+    from openie_spark.functions.audiocodec import decode_wav, wav_duration_ms
     from openie_spark.operators.multimodal import (
         _decode_audio_stub,
         _feature_stub,
         feature_micro,
+        frame_window_feature,
     )
 
     rows = []
     for doc_id, pos, kind, ref, content in _media_items(sf_dir):
         if kind not in ("audio", "video"):
             continue
-        duration = _decode_audio_stub(content)
+        wav = decode_wav(content) if kind == "audio" else None
+        if wav is not None:
+            rate, ch, samples = wav
+            duration = wav_duration_ms(rate, ch, samples)
+        else:
+            duration = _decode_audio_stub(content)
         n = min(max_frames, max(1, duration // every_ms))
         for k in range(int(n)):
             ts = k * every_ms
@@ -189,7 +205,9 @@ def media_frame_rows(
                     "frame_idx": k,
                     "ts_ms": ts,
                     "feature_q": feature_micro(
-                        _feature_stub(content + ts.to_bytes(4, "big"))
+                        frame_window_feature(samples, ch, rate, ts, every_ms)
+                        if wav is not None
+                        else _feature_stub(content + ts.to_bytes(4, "big"))
                     ),
                 }
             )
@@ -198,7 +216,7 @@ def media_frame_rows(
 
 def media_features_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_features_v3_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_features_v4_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_feature_rows(sf_dir), FEATURES_PA, p)
     )
@@ -206,7 +224,7 @@ def media_features_path(sf_dir: str) -> str:
 
 def media_thumbs_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_thumbs_v3_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_thumbs_v4_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_thumb_rows(sf_dir), THUMBS_PA, p)
     )
@@ -214,7 +232,7 @@ def media_thumbs_path(sf_dir: str) -> str:
 
 def media_frames_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_frames_v3_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_frames_v4_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_frame_rows(sf_dir), FRAMES_PA, p)
     )

@@ -3,15 +3,19 @@
 The container ships no image/audio libraries, so decode is split by
 format capability:
 
-  - **REAL decode** for 24-bit BMP, binary PPM (P6), 8-bit PNG, and
+  - **REAL image decode** for 24-bit BMP, binary PPM (P6), 8-bit PNG, and
     palette GIF via the pure-stdlib codec in functions/imagecodec.py —
     header parse, pixel decode (incl. GIF LZW), nearest-neighbor resize,
     and luminance-histogram features all compute from actual pixels,
     end-to-end through the Spark plan.  The synthetic fetch rotates image
     payloads over all four containers, so every codec runs e2e in the
     tests and registry queries.
+  - **REAL audio decode** for RIFF/WAVE PCM16 via functions/audiocodec.py:
+    the synthetic fetch emits genuine WAV payloads, and duration, energy
+    features and per-frame windowed features all compute from actual
+    samples.
   - **Deterministic STUBS** (clearly marked) for every other format
-    (JPEG/audio/video need codec deps).  Swapping a stub for
+    (JPEG/MP3/video need codec deps).  Swapping a stub for
     PIL/ffmpeg changes one inner function, not the plan.
 
 Everything Spark-side is real and tested either way: schemas, Arrow batch
@@ -140,24 +144,47 @@ def _synth_image(media_ref: str) -> bytes:
     return (encode_ppm, encode_bmp, encode_png)[h[10] % 4](w, hgt, rgb)
 
 
+def _synth_audio(media_ref: str) -> bytes:
+    """Deterministic REAL audio payload: a genuine RIFF/WAVE PCM16 file
+    whose rate, duration and samples derive from the ref hash — so the
+    pure-stdlib WAV codec is driven by the e2e media path.  Durations are
+    kept to 0.2-2.2 s at 8/16 kHz mono so fixture payloads stay small."""
+    from openie_spark.functions.audiocodec import encode_wav
+
+    h = hashlib.sha256(media_ref.encode()).digest()
+    rate = (8000, 16000)[h[0] % 2]
+    dur_ms = 200 + int.from_bytes(h[2:4], "big") % 2000
+    n = rate * dur_ms // 1000
+    rng = np.random.default_rng(int.from_bytes(h[4:12], "big"))
+    samples = rng.integers(-32768, 32768, n, dtype=np.int16)
+    return encode_wav(rate, samples)
+
+
+def synth_media_bytes(kind: str, media_ref: str) -> bytes:
+    """SINGLE HOME for the synthetic fetch kernel — the Spark fetch fence
+    and the single-process oracle twin (fixtures/gen_media_twin.py) must
+    both call this, or the driver hash forks.  Video payload stays the
+    sha256-hexdigest stub (no pure-stdlib video codec exists)."""
+    if kind == "image":
+        return _synth_image(media_ref)
+    if kind == "audio":
+        return _synth_audio(media_ref)
+    return hashlib.sha256(media_ref.encode()).hexdigest().encode()
+
+
 def fetch_media_bytes(media: DataFrame) -> DataFrame:
     """SYNTHETIC fetch: real deployments read from object storage by
     media_ref — which is a per-row Python/connector task, so a Python
     fence here matches the plan shape of the real thing.  Image spans get
-    a real decodable PPM/BMP/PNG/GIF payload (deterministic from the ref);
-    audio/video get sha256-seeded opaque bytes (no pure-stdlib codec
-    exists for them)."""
+    a real decodable PPM/BMP/PNG/GIF payload, audio spans a real WAV
+    (both deterministic from the ref); video gets sha256-seeded opaque
+    bytes (no pure-stdlib codec exists)."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # audio/video payload = utf-8 of the sha256 hexdigest: byte-
-            # identical to the previous JVM-side sha2(ref,256)::binary
-            # synth, so duration/frame outputs are unchanged across rounds
             content = [
-                _synth_image(ref)
-                if kind == "image"
-                else hashlib.sha256(ref.encode()).hexdigest().encode()
+                synth_media_bytes(kind, ref)
                 for kind, ref in zip(pdf["kind"], pdf["media_ref"])
             ]
             pdf = pdf.assign(content=content)
@@ -191,8 +218,14 @@ def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 def decode_media(media_with_bytes: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extraction over Arrow batches.  Images
-    in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel features;
+    in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel
+    features; WAV audio gets a REAL decode + sample-energy features;
     everything else falls back to the stubs."""
+    from openie_spark.functions.audiocodec import (
+        decode_wav,
+        pcm_features,
+        wav_duration_ms,
+    )
     from openie_spark.functions.imagecodec import decode_image, rgb_features
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -210,7 +243,13 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
                     else:
                         width, height = _decode_image_stub(content)
                 elif r.kind == "audio":
-                    duration = _decode_audio_stub(content)
+                    wav = decode_wav(content)
+                    if wav is not None:
+                        rate, ch, samples = wav
+                        duration = wav_duration_ms(rate, ch, samples)
+                        feature = pcm_features(samples, ch, FEATURE_DIM)
+                    else:
+                        duration = _decode_audio_stub(content)
                 rows.append(
                     {
                         "doc_id": r.doc_id,
@@ -232,7 +271,9 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
 
 
 def media_feature_stage(docs: DataFrame) -> DataFrame:
-    """Full media path: explode → fetch(stub) → decode(stub) → features."""
+    """Full media path: explode → synthetic fetch → decode (real for
+    BMP/PPM/PNG/GIF images and WAV audio; labeled stubs otherwise) →
+    features."""
     return decode_media(fetch_media_bytes(media_spans(docs)))
 
 
@@ -323,12 +364,29 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+def frame_window_feature(
+    samples: "np.ndarray", n_channels: int, rate: int, ts_ms: int, every_ms: int
+) -> list[float]:
+    """REAL per-frame audio feature: energy profile of the samples inside
+    [ts, ts+every_ms).  SINGLE HOME with the oracle twin (kernel shared
+    the same way as pcm_features)."""
+    from openie_spark.functions.audiocodec import pcm_features
+
+    lo = ts_ms * rate // 1000
+    hi = (ts_ms + every_ms) * rate // 1000
+    return pcm_features(
+        samples[lo * n_channels : hi * n_channels], n_channels, FEATURE_DIM
+    )
+
+
 def sample_frames(
     media_with_bytes: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Uniform frame sampling over audio/video spans: one output row per
-    sampled frame with a per-frame feature vector (mapInPandas; the frame
-    decode is the stub — replace with ffmpeg seek+decode)."""
+    sampled frame with a per-frame feature vector (mapInPandas).  WAV
+    audio runs REAL windowed sample features; video keeps the stub
+    (replace with ffmpeg seek+decode)."""
+    from openie_spark.functions.audiocodec import decode_wav, wav_duration_ms
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -337,7 +395,12 @@ def sample_frames(
                 if r.kind not in ("audio", "video"):
                     continue
                 content = bytes(r.content) if r.content is not None else b""
-                duration = _decode_audio_stub(content)
+                wav = decode_wav(content) if r.kind == "audio" else None
+                if wav is not None:
+                    rate, ch, samples = wav
+                    duration = wav_duration_ms(rate, ch, samples)
+                else:
+                    duration = _decode_audio_stub(content)
                 n = min(max_frames, max(1, duration // every_ms))
                 for k in range(int(n)):
                     ts = k * every_ms
@@ -348,9 +411,11 @@ def sample_frames(
                             "media_ref": r.media_ref,
                             "frame_idx": k,
                             "ts_ms": ts,
-                            "feature": _feature_stub(
-                                content + ts.to_bytes(4, "big")
-                            ),
+                            "feature": frame_window_feature(
+                                samples, ch, rate, ts, every_ms
+                            )
+                            if wav is not None
+                            else _feature_stub(content + ts.to_bytes(4, "big")),
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
