@@ -92,6 +92,11 @@ def media_feature_rows(sf_dir: str) -> list[dict]:
         wav_duration_ms,
     )
     from openie_spark.functions.imagecodec import decode_image, rgb_features
+    from openie_spark.functions.videocodec import (
+        decode_y4m,
+        y4m_duration_ms,
+        y_features,
+    )
     from openie_spark.operators.multimodal import (
         FEATURE_DIM,
         _decode_audio_stub,
@@ -117,6 +122,15 @@ def media_feature_rows(sf_dir: str) -> list[dict]:
                 rate, ch, samples = wav
                 duration = wav_duration_ms(rate, ch, samples)
                 feature = pcm_features(samples, ch, FEATURE_DIM)
+            else:
+                duration = _decode_audio_stub(content)
+        elif kind == "video":
+            vid = decode_y4m(content)
+            if vid is not None:
+                w, h, num, den, frames = vid
+                width, height = w, h
+                duration = y4m_duration_ms(num, den, len(frames))
+                feature = y_features(w, h, frames[0], FEATURE_DIM)
             else:
                 duration = _decode_audio_stub(content)
         rows.append(
@@ -176,27 +190,13 @@ def media_thumb_rows(sf_dir: str, max_side: int = 256) -> list[dict]:
 def media_frame_rows(
     sf_dir: str, every_ms: int = 1000, max_frames: int = 8
 ) -> list[dict]:
-    from openie_spark.functions.audiocodec import decode_wav, wav_duration_ms
-    from openie_spark.operators.multimodal import (
-        _decode_audio_stub,
-        _feature_stub,
-        feature_micro,
-        frame_window_feature,
-    )
+    from openie_spark.operators.multimodal import feature_micro, sampled_frame_rows
 
     rows = []
     for doc_id, pos, kind, ref, content in _media_items(sf_dir):
         if kind not in ("audio", "video"):
             continue
-        wav = decode_wav(content) if kind == "audio" else None
-        if wav is not None:
-            rate, ch, samples = wav
-            duration = wav_duration_ms(rate, ch, samples)
-        else:
-            duration = _decode_audio_stub(content)
-        n = min(max_frames, max(1, duration // every_ms))
-        for k in range(int(n)):
-            ts = k * every_ms
+        for k, ts, feature in sampled_frame_rows(kind, content, every_ms, max_frames):
             rows.append(
                 {
                     "doc_id": doc_id,
@@ -204,11 +204,7 @@ def media_frame_rows(
                     "media_ref": ref,
                     "frame_idx": k,
                     "ts_ms": ts,
-                    "feature_q": feature_micro(
-                        frame_window_feature(samples, ch, rate, ts, every_ms)
-                        if wav is not None
-                        else _feature_stub(content + ts.to_bytes(4, "big"))
-                    ),
+                    "feature_q": feature_micro(feature),
                 }
             )
     return rows
@@ -216,7 +212,7 @@ def media_frame_rows(
 
 def media_features_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_features_v4_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_features_v5_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_feature_rows(sf_dir), FEATURES_PA, p)
     )
@@ -224,7 +220,7 @@ def media_features_path(sf_dir: str) -> str:
 
 def media_thumbs_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_thumbs_v4_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_thumbs_v5_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_thumb_rows(sf_dir), THUMBS_PA, p)
     )
@@ -232,7 +228,7 @@ def media_thumbs_path(sf_dir: str) -> str:
 
 def media_frames_path(sf_dir: str) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"media_twin_frames_v4_{Path(sf_dir).name}_{fp}"
+    name = f"media_twin_frames_v5_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name, lambda p: store.write_rows(media_frame_rows(sf_dir), FRAMES_PA, p)
     )

@@ -5,8 +5,14 @@ Rule (deterministic in the integer doc key `k`):
   - split text into n_chunks = 1 + (k mod 4) consecutive word-boundary chunks
   - text spans carry cumulative char `offset`
   - between chunk j and j+1, insert a media span when (k + j) mod 3 == 0:
-    kind = 'image' if k mod 2 == 0 else 'audio', text = NULL,
+    kind = ('image', 'audio', 'video')[k mod 3], text = NULL,
     media_ref = f"media://{doc_id}/{j}", offset = current char offset
+
+(The kind cycle was image/audio by k mod 2 until late r4; the 3-way cycle
+drives the real y4m video codec through the e2e media path.  Span counts,
+offsets and all text spans are unchanged by that revision — only `kind`
+values moved — so extraction goldens and span pins are unaffected; the
+media twin fixtures regenerate.)
 """
 
 from __future__ import annotations
@@ -30,7 +36,7 @@ def _chunk_words(text: str, n_chunks: int) -> list[str]:
 def interleave_spans(k: int, doc_id: str, text: str) -> list[dict]:
     n_chunks = 1 + (k % 4)
     chunks = _chunk_words(text, n_chunks)
-    media_kind = "image" if k % 2 == 0 else "audio"
+    media_kind = ("image", "audio", "video")[k % 3]
     spans: list[dict] = []
     offset = 0
     for j, chunk in enumerate(chunks):

@@ -14,8 +14,11 @@ format capability:
     the synthetic fetch emits genuine WAV payloads, and duration, energy
     features and per-frame windowed features all compute from actual
     samples.
-  - **Deterministic STUBS** (clearly marked) for every other format
-    (JPEG/MP3/video need codec deps).  Swapping a stub for
+  - **REAL video decode** for YUV4MPEG2 C444 via functions/videocodec.py:
+    genuine y4m payloads; dims, exact duration, poster-frame features and
+    per-instant frame seek + luma features all compute from actual frames.
+  - **Deterministic STUBS** (clearly marked) for every compressed format
+    (JPEG/MP3/H.264 need codec deps).  Swapping a stub for
     PIL/ffmpeg changes one inner function, not the plan.
 
 Everything Spark-side is real and tested either way: schemas, Arrow batch
@@ -68,9 +71,9 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("kind", StringType(), False),
         StructField("media_ref", StringType(), False),
         StructField("n_bytes", LongType(), False),
-        StructField("width", IntegerType(), True),  # images only
+        StructField("width", IntegerType(), True),  # images + video
         StructField("height", IntegerType(), True),
-        StructField("duration_ms", IntegerType(), True),  # audio only
+        StructField("duration_ms", IntegerType(), True),  # audio + video
         StructField("feature", ArrayType(FloatType(), containsNull=False), False),
     ]
 )
@@ -160,15 +163,37 @@ def _synth_audio(media_ref: str) -> bytes:
     return encode_wav(rate, samples)
 
 
+def _synth_video(media_ref: str) -> bytes:
+    """Deterministic REAL video payload: a genuine YUV4MPEG2 C444 stream
+    whose dims, frame rate, frame count and pixels derive from the ref
+    hash — so the pure-stdlib y4m codec is driven by the e2e media path.
+    Small dims / few frames keep fixture payloads modest."""
+    from openie_spark.functions.videocodec import encode_y4m
+
+    h = hashlib.sha256(media_ref.encode()).digest()
+    w, hgt = 8 + h[0] % 17, 8 + h[1] % 17
+    fps = (2, 4, 8)[h[2] % 3]
+    n_frames = 3 + h[3] % 8
+    rng = np.random.default_rng(int.from_bytes(h[4:12], "big"))
+    frames = [
+        rng.integers(0, 256, 3 * w * hgt, dtype=np.uint8).tobytes()
+        for _ in range(n_frames)
+    ]
+    return encode_y4m(w, hgt, fps, 1, frames)
+
+
 def synth_media_bytes(kind: str, media_ref: str) -> bytes:
     """SINGLE HOME for the synthetic fetch kernel — the Spark fetch fence
     and the single-process oracle twin (fixtures/gen_media_twin.py) must
-    both call this, or the driver hash forks.  Video payload stays the
-    sha256-hexdigest stub (no pure-stdlib video codec exists)."""
+    both call this, or the driver hash forks.  All three modalities emit
+    REAL containers (PPM/BMP/PNG/GIF, WAV, y4m); unknown kinds keep the
+    sha256-hexdigest stub payload."""
     if kind == "image":
         return _synth_image(media_ref)
     if kind == "audio":
         return _synth_audio(media_ref)
+    if kind == "video":
+        return _synth_video(media_ref)
     return hashlib.sha256(media_ref.encode()).hexdigest().encode()
 
 
@@ -219,14 +244,20 @@ def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def decode_media(media_with_bytes: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extraction over Arrow batches.  Images
     in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel
-    features; WAV audio gets a REAL decode + sample-energy features;
-    everything else falls back to the stubs."""
+    features; WAV audio a REAL decode + sample-energy features; y4m video
+    a REAL decode + dims/duration/poster-frame luma features; everything
+    else falls back to the stubs."""
     from openie_spark.functions.audiocodec import (
         decode_wav,
         pcm_features,
         wav_duration_ms,
     )
     from openie_spark.functions.imagecodec import decode_image, rgb_features
+    from openie_spark.functions.videocodec import (
+        decode_y4m,
+        y4m_duration_ms,
+        y_features,
+    )
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -248,6 +279,17 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
                         rate, ch, samples = wav
                         duration = wav_duration_ms(rate, ch, samples)
                         feature = pcm_features(samples, ch, FEATURE_DIM)
+                    else:
+                        duration = _decode_audio_stub(content)
+                elif r.kind == "video":
+                    vid = decode_y4m(content)
+                    if vid is not None:
+                        w, h, num, den, frames = vid
+                        width, height = w, h
+                        duration = y4m_duration_ms(num, den, len(frames))
+                        # poster-frame convention: the stream-level feature
+                        # is the first frame's luma profile
+                        feature = y_features(w, h, frames[0], FEATURE_DIM)
                     else:
                         duration = _decode_audio_stub(content)
                 rows.append(
@@ -379,14 +421,56 @@ def frame_window_feature(
     )
 
 
+def sampled_frame_rows(
+    kind: str, content: bytes, every_ms: int, max_frames: int
+) -> list[tuple[int, int, list[float]]]:
+    """(frame_idx, ts_ms, feature) triples for one audio/video span —
+    SINGLE HOME for the sampling kernel, shared by the Spark fence and the
+    oracle twin.  WAV audio: REAL windowed sample-energy features.  y4m
+    video: REAL decoded frame at each sample instant, luma features.
+    Anything else: the labeled stubs."""
+    from openie_spark.functions.audiocodec import decode_wav, wav_duration_ms
+    from openie_spark.functions.videocodec import (
+        decode_y4m,
+        frame_at_ms,
+        y4m_duration_ms,
+        y_features,
+    )
+
+    wav = decode_wav(content) if kind == "audio" else None
+    vid = decode_y4m(content) if kind == "video" else None
+    if wav is not None:
+        rate, ch, samples = wav
+        duration = wav_duration_ms(rate, ch, samples)
+    elif vid is not None:
+        w, h, num, den, frames = vid
+        duration = y4m_duration_ms(num, den, len(frames))
+    else:
+        duration = _decode_audio_stub(content)
+    n = min(max_frames, max(1, duration // every_ms))
+    out = []
+    for k in range(int(n)):
+        ts = k * every_ms
+        if wav is not None:
+            feature = frame_window_feature(samples, ch, rate, ts, every_ms)
+        elif vid is not None:
+            feature = y_features(
+                w, h, frames[frame_at_ms(num, den, len(frames), ts)], FEATURE_DIM
+            )
+        else:
+            feature = _feature_stub(content + ts.to_bytes(4, "big"))
+        out.append((k, ts, feature))
+    return out
+
+
 def sample_frames(
     media_with_bytes: DataFrame, every_ms: int = 1000, max_frames: int = 8
 ) -> DataFrame:
     """Uniform frame sampling over audio/video spans: one output row per
     sampled frame with a per-frame feature vector (mapInPandas).  WAV
-    audio runs REAL windowed sample features; video keeps the stub
-    (replace with ffmpeg seek+decode)."""
-    from openie_spark.functions.audiocodec import decode_wav, wav_duration_ms
+    audio and y4m video run REAL per-instant features (see
+    sampled_frame_rows); compressed formats keep the stub (replace with
+    ffmpeg seek+decode)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -395,15 +479,9 @@ def sample_frames(
                 if r.kind not in ("audio", "video"):
                     continue
                 content = bytes(r.content) if r.content is not None else b""
-                wav = decode_wav(content) if r.kind == "audio" else None
-                if wav is not None:
-                    rate, ch, samples = wav
-                    duration = wav_duration_ms(rate, ch, samples)
-                else:
-                    duration = _decode_audio_stub(content)
-                n = min(max_frames, max(1, duration // every_ms))
-                for k in range(int(n)):
-                    ts = k * every_ms
+                for k, ts, feature in sampled_frame_rows(
+                    r.kind, content, every_ms, max_frames
+                ):
                     rows.append(
                         {
                             "doc_id": r.doc_id,
@@ -411,11 +489,7 @@ def sample_frames(
                             "media_ref": r.media_ref,
                             "frame_idx": k,
                             "ts_ms": ts,
-                            "feature": frame_window_feature(
-                                samples, ch, rate, ts, every_ms
-                            )
-                            if wav is not None
-                            else _feature_stub(content + ts.to_bytes(4, "big")),
+                            "feature": feature,
                         }
                     )
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
