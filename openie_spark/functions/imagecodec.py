@@ -450,6 +450,10 @@ def decode_image(data: bytes) -> tuple[int, int, bytes] | None:
         return decode_png(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        from openie_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     return None
 
 

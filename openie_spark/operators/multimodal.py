@@ -3,13 +3,14 @@
 The container ships no image/audio libraries, so decode is split by
 format capability:
 
-  - **REAL image decode** for 24-bit BMP, binary PPM (P6), 8-bit PNG, and
-    palette GIF via the pure-stdlib codec in functions/imagecodec.py —
-    header parse, pixel decode (incl. GIF LZW), nearest-neighbor resize,
-    and luminance-histogram features all compute from actual pixels,
-    end-to-end through the Spark plan.  The synthetic fetch rotates image
-    payloads over all four containers, so every codec runs e2e in the
-    tests and registry queries.
+  - **REAL image decode** for 24-bit BMP, binary PPM (P6), 8-bit PNG,
+    palette GIF (functions/imagecodec.py) and baseline JPEG
+    (functions/jpegcodec.py — full DCT entropy codec, pure stdlib) —
+    header parse, pixel decode (incl. GIF LZW and JPEG Huffman+IDCT),
+    nearest-neighbor resize, and luminance-histogram features all compute
+    from actual pixels, end-to-end through the Spark plan.  The synthetic
+    fetch rotates image payloads over all five containers, so every codec
+    runs e2e in the tests and registry queries.
   - **REAL audio decode** for RIFF/WAVE PCM16 via functions/audiocodec.py:
     the synthetic fetch emits genuine WAV payloads, and duration, energy
     features and per-frame windowed features all compute from actual
@@ -17,8 +18,8 @@ format capability:
   - **REAL video decode** for YUV4MPEG2 C444 via functions/videocodec.py:
     genuine y4m payloads; dims, exact duration, poster-frame features and
     per-instant frame seek + luma features all compute from actual frames.
-  - **Deterministic STUBS** (clearly marked) for every compressed format
-    (JPEG/MP3/H.264 need codec deps).  Swapping a stub for
+  - **Deterministic STUBS** (clearly marked) for the remaining compressed
+    formats (MP3/AAC/H.264 need codec deps).  Swapping a stub for
     PIL/ffmpeg changes one inner function, not the plan.
 
 Everything Spark-side is real and tested either way: schemas, Arrow batch
@@ -124,27 +125,33 @@ def media_spans(docs: DataFrame) -> DataFrame:
 def _synth_image(media_ref: str) -> bytes:
     """Deterministic REAL image payload for an image span: dims and pixels
     derive from the ref hash, and the CONTAINER rotates over
-    PPM/BMP/PNG/GIF (h[10] % 4) — so every pure-stdlib codec is driven by
-    the e2e media path, not just by unit tests.  The true-color containers
-    share identical pixel content; the GIF branch draws its pixels from a
-    ref-derived 64-color palette instead (GIF is an indexed format — the
-    encoder refuses true-color input by design)."""
+    PPM/BMP/PNG/GIF/JPEG (h[10] % 5) — so every pure-stdlib codec is
+    driven by the e2e media path, not just by unit tests.  The lossless
+    true-color containers share identical pixel content; the GIF branch
+    draws its pixels from a ref-derived 64-color palette (GIF is an
+    indexed format — the encoder refuses true-color input by design); the
+    JPEG branch carries the same true-color pixels through the lossy
+    baseline codec (downstream features compute from the DECODED pixels
+    on both the Spark and the oracle side, so loss cannot fork parity)."""
     from openie_spark.functions.imagecodec import (
         encode_bmp,
         encode_gif,
         encode_png,
         encode_ppm,
     )
+    from openie_spark.functions.jpegcodec import encode_jpeg
 
     h = hashlib.sha256(media_ref.encode()).digest()
     w, hgt = 8 + h[0] % 56, 8 + h[1] % 56
     rng = np.random.default_rng(int.from_bytes(h[2:10], "big"))
-    if h[10] % 4 == 3:
+    if h[10] % 5 == 3:
         pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
         rgb = pal[rng.integers(0, 64, w * hgt)].tobytes()
         return encode_gif(w, hgt, rgb)
     rgb = rng.integers(0, 256, w * hgt * 3, dtype=np.uint8).tobytes()
-    return (encode_ppm, encode_bmp, encode_png)[h[10] % 4](w, hgt, rgb)
+    return (encode_ppm, encode_bmp, encode_png, None, encode_jpeg)[h[10] % 5](
+        w, hgt, rgb
+    )
 
 
 def _synth_audio(media_ref: str) -> bytes:
