@@ -27,6 +27,15 @@ def portable_hash60(*cols) -> "F.Column":
     return F.conv(F.substring(F.md5(joined), 1, 15), 16, 10).cast("long")
 
 
+def portable_hash60_sql(expr: str) -> str:
+    """DuckDB-side twin of :func:`portable_hash60` over ONE SQL expression
+    (callers hashing several columns pass ``concat_ws('|', ...)`` to match
+    the Spark side).  The single home of the ``'0x' || substr(md5(...))``
+    spelling — oracle builders interpolate this instead of re-spelling it,
+    so the two engines' hash schemes cannot fork (CLAUDE.md invariant)."""
+    return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
 # ---------------------------------------------------------------------------
 # Pure-Python XXH64 — the single-process twin of Spark's ``F.xxhash64`` on
 # ONE string column (Spark hashes the UTF-8 bytes with seed 42).  Implemented

@@ -171,10 +171,9 @@ def doc_event_seconds(doc_col: str = "doc_id"):
 
 def doc_event_seconds_sql(expr: str = "doc_id") -> str:
     """DuckDB twin of ``doc_event_seconds`` — interpolate into oracle SQL."""
-    return (
-        f"({DOC_TS_BASE_S} + CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
-        f" % {DOC_TS_WINDOW_S})"
-    )
+    from openie_spark.functions.hashing import portable_hash60_sql
+
+    return f"({DOC_TS_BASE_S} + {portable_hash60_sql(expr)} % {DOC_TS_WINDOW_S})"
 
 
 def triple_validity_intervals(triples: DataFrame) -> DataFrame:

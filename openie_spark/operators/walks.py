@@ -38,7 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from openie_spark.functions.hashing import portable_hash60
+from openie_spark.functions.hashing import portable_hash60, portable_hash60_sql
 from openie_spark.operators.skew import hot_keys, salted_join
 
 WALK_LEN = 3
@@ -201,13 +201,16 @@ def random_walks_sql(
     steps = []
     prev = "w0"
     for s in range(1, walk_len + 1):
+        h = portable_hash60_sql(
+            f"concat_ws('|', {prev}.walk_id, '{s}', e.tail, e.pred)"
+        )
         steps.append(
             f"""s{s} AS (
   SELECT {prev}.walk_id, e.pred, e.tail AS node
   FROM {prev} JOIN sym e ON e.head = {prev}.node
   QUALIFY ROW_NUMBER() OVER (
     PARTITION BY {prev}.walk_id
-    ORDER BY CAST(('0x' || substr(md5(concat_ws('|', {prev}.walk_id, '{s}', e.tail, e.pred)), 1, 15)) AS BIGINT),
+    ORDER BY {h},
              e.tail, e.pred
   ) = 1
 )"""

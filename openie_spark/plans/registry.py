@@ -24,6 +24,7 @@ from pyspark.sql.window import Window
 
 from openie_spark.fixtures import store
 from openie_spark.fixtures.gen_docs import docs_interleaved
+from openie_spark.functions.hashing import portable_hash60_sql
 from openie_spark.operators.extract import extract_stage, mentions_from_triples
 from openie_spark.operators.invariant import arrow_roundtrip, check_span_invariant
 from openie_spark.sources.tables import load, load_docs
@@ -1285,7 +1286,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-SQL_DOC_FINGERPRINT = r"""
+SQL_DOC_FINGERPRINT = rf"""
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(lower(text), '\s+') AS toks
   FROM documents
@@ -1295,8 +1296,7 @@ SELECT doc_id,
        list_min(
          list_transform(
            range(0, greatest(len(toks) - 5, 0) + 1),
-           i -> CAST('0x' || substr(md5(array_to_string(toks[i+1:i+5], ' ')), 1, 15)
-                AS BIGINT)
+           i -> {portable_hash60_sql("array_to_string(toks[i+1:i+5], ' ')")}
          )
        ) AS fp_rolling_min
 FROM t
@@ -2469,7 +2469,7 @@ nodes AS (
 ),
 pri AS (
   SELECT node,
-         CAST('0x' || substr(md5(CAST(node AS VARCHAR)), 1, 15) AS BIGINT) AS p
+         {portable_hash60_sql("CAST(node AS VARCHAR)")} AS p
   FROM nodes
 ),
 alive AS (
@@ -3141,8 +3141,8 @@ vocab AS (
 nv AS (SELECT COUNT(*) AS n_vocab FROM vocab),
 cand AS (
   SELECT e.head, e.tail, j.neg_rank,
-         CAST(('0x' || substr(md5(concat_ws('|', e.head, e.tail, j.neg_rank)), 1, 15))
-              AS BIGINT) % nv.n_vocab AS neg_idx
+         {portable_hash60_sql("concat_ws('|', e.head, e.tail, j.neg_rank)")}
+              % nv.n_vocab AS neg_idx
   FROM e
   CROSS JOIN (SELECT CAST(r AS INT) AS neg_rank
               FROM range(0, {NEG_SAMPLES_N}) t(r)) j
