@@ -82,6 +82,108 @@ def all_graphs():
     return e1 + e2 + e3, {**x1, **x2, **x3}
 
 
+# ---------------------------------------------------------------------------
+# Directed fixture for strongly-connected components (operators/scc.py).
+# Same single-source-of-truth discipline: the constants below drive BOTH
+# ``digraph()`` (Python edge list) and ``digraph_sql()`` (DuckDB CTE body),
+# so operator input and oracle input cannot desynchronize.  Shapes chosen so
+# every SCC regime appears: pure directed cycles (one SCC each), an
+# ascending chain (all singletons — exercises multi-round root extraction
+# under hash priorities), a doubly-linked path (one SCC that is NOT a simple
+# cycle), a non-invertible functional graph i -> (A*i+B) mod N (rho shapes:
+# cycle SCCs fed by singleton tails), two cycles joined by a ONE-WAY bridge
+# (must stay two SCCs), and self-loop isolated markers (singletons).
+# Tuned so the coloring operator converges in 3 outer rounds / ~39 inner
+# fixpoint iterations (prototype-measured) — iteration count is test cost.
+
+DCYC_K = 20          # disjoint directed cycles
+DCYC_LEN = 8
+DCYC_BASE = 3_000_000
+DCHAIN_N = 12        # ascending chain (singleton SCCs)
+DCHAIN_BASE = 3_010_000
+DBIPATH_N = 8        # i <-> i+1 doubly-linked path (one SCC)
+DBIPATH_BASE = 3_020_000
+DFUN_N = 60          # functional graph i -> (A*i+B) mod N, gcd(A,N)>1
+DFUN_A = 5
+DFUN_B = 7
+DFUN_BASE = 3_030_000
+DBRIDGE_LEN = 8      # two cycles + one-way bridge edge
+DBRIDGE_BASE = 3_040_000
+DBRIDGE_OFF = 100    # second cycle starts at DBRIDGE_BASE + DBRIDGE_OFF
+DBRIDGE_SRC_I = 3    # bridge: (BASE+3) -> (BASE+OFF+5)
+DBRIDGE_DST_I = 5
+DISO_N = 5           # self-loop isolated markers
+DISO_BASE = 3_050_000
+
+
+def digraph() -> list[tuple[int, int]]:
+    """Directed edge list for the SCC fixture (see constants above)."""
+    edges: list[tuple[int, int]] = []
+    for c in range(DCYC_K):
+        for i in range(DCYC_LEN):
+            edges.append(
+                (DCYC_BASE + c * DCYC_LEN + i, DCYC_BASE + c * DCYC_LEN + (i + 1) % DCYC_LEN)
+            )
+    for i in range(DCHAIN_N - 1):
+        edges.append((DCHAIN_BASE + i, DCHAIN_BASE + i + 1))
+    for i in range(DBIPATH_N - 1):
+        edges.append((DBIPATH_BASE + i, DBIPATH_BASE + i + 1))
+        edges.append((DBIPATH_BASE + i + 1, DBIPATH_BASE + i))
+    for i in range(DFUN_N):
+        edges.append((DFUN_BASE + i, DFUN_BASE + (DFUN_A * i + DFUN_B) % DFUN_N))
+    for i in range(DBRIDGE_LEN):
+        edges.append((DBRIDGE_BASE + i, DBRIDGE_BASE + (i + 1) % DBRIDGE_LEN))
+        edges.append(
+            (
+                DBRIDGE_BASE + DBRIDGE_OFF + i,
+                DBRIDGE_BASE + DBRIDGE_OFF + (i + 1) % DBRIDGE_LEN,
+            )
+        )
+    edges.append(
+        (DBRIDGE_BASE + DBRIDGE_SRC_I, DBRIDGE_BASE + DBRIDGE_OFF + DBRIDGE_DST_I)
+    )
+    for i in range(DISO_N):
+        edges.append((DISO_BASE + i, DISO_BASE + i))
+    return edges
+
+
+def digraph_sql() -> str:
+    """DuckDB SQL producing EXACTLY the ``digraph()`` edge list (CTE body),
+    generated from the same shape constants."""
+    return f"""
+  SELECT {DCYC_BASE} + c * {DCYC_LEN} + i AS src,
+         {DCYC_BASE} + c * {DCYC_LEN} + (i + 1) % {DCYC_LEN} AS dst
+  FROM range(0, {DCYC_K}) tc(c), range(0, {DCYC_LEN}) ti(i)
+  UNION ALL
+  SELECT {DCHAIN_BASE} + i AS src, {DCHAIN_BASE} + i + 1 AS dst
+  FROM range(0, {DCHAIN_N - 1}) t(i)
+  UNION ALL
+  SELECT {DBIPATH_BASE} + i AS src, {DBIPATH_BASE} + i + 1 AS dst
+  FROM range(0, {DBIPATH_N - 1}) t(i)
+  UNION ALL
+  SELECT {DBIPATH_BASE} + i + 1 AS src, {DBIPATH_BASE} + i AS dst
+  FROM range(0, {DBIPATH_N - 1}) t(i)
+  UNION ALL
+  SELECT {DFUN_BASE} + i AS src,
+         {DFUN_BASE} + ({DFUN_A} * i + {DFUN_B}) % {DFUN_N} AS dst
+  FROM range(0, {DFUN_N}) t(i)
+  UNION ALL
+  SELECT {DBRIDGE_BASE} + i AS src,
+         {DBRIDGE_BASE} + (i + 1) % {DBRIDGE_LEN} AS dst
+  FROM range(0, {DBRIDGE_LEN}) t(i)
+  UNION ALL
+  SELECT {DBRIDGE_BASE} + {DBRIDGE_OFF} + i AS src,
+         {DBRIDGE_BASE} + {DBRIDGE_OFF} + (i + 1) % {DBRIDGE_LEN} AS dst
+  FROM range(0, {DBRIDGE_LEN}) t(i)
+  UNION ALL
+  SELECT {DBRIDGE_BASE + DBRIDGE_SRC_I} AS src,
+         {DBRIDGE_BASE + DBRIDGE_OFF + DBRIDGE_DST_I} AS dst
+  UNION ALL
+  SELECT {DISO_BASE} + i AS src, {DISO_BASE} + i AS dst
+  FROM range(0, {DISO_N}) t(i)
+"""
+
+
 def linkpred_graphs() -> list[tuple[int, int]]:
     """Edge list for the link-prediction fixture: the CC shapes (chain
     contributes distance-2 pairs, cliques contribute none — fully adjacent,

@@ -1558,6 +1558,54 @@ SELECT id, MIN(r) AS rep FROM lab GROUP BY id ORDER BY id
 """
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (forward-coloring + backward
+    collection, hash priorities — operators/scc.py) over the deterministic
+    directed fixture (cycles + chain + doubly-linked path + functional
+    rho shapes + one-way-bridged cycles + self-loop isolates).  scc = min
+    member id, a pure function of the edge set, so the round-free DuckDB
+    reachability oracle is exact."""
+    from openie_spark.fixtures.gen_graphs import digraph
+    from openie_spark.operators.scc import strongly_connected_components
+
+    df = spark.createDataFrame(digraph(), "src bigint, dst bigint")
+    return strongly_connected_components(df).orderBy("id")
+
+
+def _scc_sql() -> str:
+    """DuckDB oracle for ``scc``: the SAME fixture edges (digraph_sql — one
+    source of truth with the operator's input) closed by full recursive
+    reachability; scc(u) = MIN over the mutual-reachability set
+    {w : u→*w AND w→*u} (u itself included via the anchor row).  Round-free
+    — no replay of the operator's iteration schedule is needed because the
+    output is schedule-independent.  Helper CTEs use UNION ALL + DISTINCT
+    (inside a RECURSIVE block a bare UNION would get anchor+step semantics
+    — the pagerank-oracle lesson, CLAUDE.md); ``reach`` itself uses the
+    recursive UNION, whose dedup IS the termination condition."""
+    from openie_spark.fixtures.gen_graphs import digraph_sql
+
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({digraph_sql()}),
+verts AS (
+  SELECT DISTINCT v AS id FROM (
+    SELECT src AS v FROM edges_raw UNION ALL SELECT dst AS v FROM edges_raw
+  )
+),
+step AS (
+  SELECT DISTINCT src, dst FROM edges_raw WHERE src <> dst
+),
+reach AS (
+  SELECT id AS u, id AS w FROM verts
+  UNION
+  SELECT r.u, e.dst AS w FROM reach r JOIN step e ON e.src = r.w
+)
+SELECT a.u AS id, MIN(a.w) AS scc
+FROM reach a JOIN reach b ON a.u = b.w AND a.w = b.u
+GROUP BY a.u ORDER BY id
+"""
+
+
 def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot (cross-tab): order counts by customer market segment x order
     status, statuses pinned to the fixed TPC-H domain so the output schema
@@ -3350,6 +3398,7 @@ QUERIES = {
     "entity_links": q_entity_links,
     "blocking_quality": q_blocking_quality,
     "connected_components": q_connected_components,
+    "scc": q_scc,
     "extract_triples": q_extract_triples,
     "clause_stats": q_clause_stats,
     "dep_arc_stats": q_dep_arc_stats,
@@ -3418,6 +3467,7 @@ ORACLE_SQL = {
     "embedding_stats": SQL_EMBEDDING_STATS,
     "ann_topk": SQL_ANN_TOPK,
     "connected_components": _connected_components_sql(),
+    "scc": _scc_sql(),
     "pivot_segment_status": SQL_PIVOT_SEGMENT_STATUS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,
