@@ -160,3 +160,71 @@ def strongly_connected_components(edges: DataFrame) -> DataFrame:
     if n_active:
         raise RuntimeError("scc: outer loop did not converge")
     return result
+
+
+def condensation_layers(edges: DataFrame) -> DataFrame:
+    """Condensation-DAG layering over the SCC decomposition — the
+    ontology/taxonomy depth view of a directed KG.
+
+    Contracts every SCC to one node (id = the SCC label, i.e. min member
+    id), keeps the distinct cross-SCC edges (the condensation is a DAG by
+    construction — any cycle among SCCs would itself be one SCC), and
+    assigns each condensed node its LONGEST-path layer:
+
+        layer(c) = 0 if c has no incoming condensation edge,
+                   else 1 + max(layer of predecessors)
+
+    — the topological level, deterministic and schedule-independent, so
+    the DuckDB oracle (registry ``scc_layers``) replays it round-free via
+    a recursive path-length closure + MAX.  Returns
+    (scc, layer, n_members) per condensed node.
+
+    Scale posture: the condensation is vocabulary-bounded (|SCCs| ≤ |V|,
+    usually far smaller), the layering loop is a groupBy-max + join per
+    round, rounds = DAG depth, every iteration lineage-cut.  Layer
+    propagation only increases and is bounded by depth, so convergence
+    rides the same changed-row count as the SCC coloring fixpoint.
+    """
+    scc_map = cut_lineage(strongly_connected_components(edges), eager=True)
+    e = edges.where(F.col("src") != F.col("dst"))
+    ce = (
+        e.join(
+            scc_map.select(F.col("id").alias("src"), F.col("scc").alias("csrc")),
+            "src",
+        )
+        .join(
+            scc_map.select(F.col("id").alias("dst"), F.col("scc").alias("cdst")),
+            "dst",
+        )
+        .where(F.col("csrc") != F.col("cdst"))
+        .select("csrc", "cdst")
+        .distinct()
+    )
+    ce = cut_lineage(ce, eager=True)
+    level = cut_lineage(
+        scc_map.select("scc").distinct().withColumn("l", F.lit(0).cast("long")),
+        eager=True,
+    )
+    for _ in range(MAX_INNER_ROUNDS):
+        cand = (
+            ce.join(
+                level.select(F.col("scc").alias("csrc"), F.col("l").alias("pl")),
+                "csrc",
+            )
+            .groupBy("cdst")
+            .agg((F.max("pl") + F.lit(1)).alias("ml"))
+        )
+        merged = level.join(cand, level.scc == cand.cdst, "left").select(
+            "scc",
+            F.col("l"),
+            F.greatest(F.col("l"), F.coalesce(F.col("ml"), F.lit(-1))).alias("l2"),
+        )
+        merged = cut_lineage(merged, eager=True)
+        changed = merged.where(F.col("l2") > F.col("l")).count()
+        level = merged.select("scc", F.col("l2").alias("l"))
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("scc: layering did not converge (input not a DAG?)")
+    members = scc_map.groupBy("scc").agg(F.count("*").alias("n_members"))
+    return level.select("scc", F.col("l").alias("layer")).join(members, "scc")

@@ -1572,20 +1572,20 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(df).orderBy("id")
 
 
-def _scc_sql() -> str:
-    """DuckDB oracle for ``scc``: the SAME fixture edges (digraph_sql — one
-    source of truth with the operator's input) closed by full recursive
-    reachability; scc(u) = MIN over the mutual-reachability set
-    {w : u→*w AND w→*u} (u itself included via the anchor row).  Round-free
-    — no replay of the operator's iteration schedule is needed because the
-    output is schedule-independent.  Helper CTEs use UNION ALL + DISTINCT
-    (inside a RECURSIVE block a bare UNION would get anchor+step semantics
-    — the pagerank-oracle lesson, CLAUDE.md); ``reach`` itself uses the
+def _scc_closure_ctes() -> str:
+    """Shared CTE prefix for the SCC-family oracles (``scc``,
+    ``scc_layers``): the fixture edges (digraph_sql — one source of truth
+    with the operator's input) closed by full recursive reachability, then
+    scc(u) = MIN over the mutual-reachability set {w : u→*w AND w→*u}
+    (u itself included via the anchor row).  Round-free — no replay of the
+    operator's iteration schedule is needed because the output is
+    schedule-independent.  Helper CTEs use UNION ALL + DISTINCT (inside a
+    RECURSIVE block a bare UNION would get anchor+step semantics — the
+    pagerank-oracle lesson, CLAUDE.md); ``reach`` itself uses the
     recursive UNION, whose dedup IS the termination condition."""
     from openie_spark.fixtures.gen_graphs import digraph_sql
 
     return f"""
-WITH RECURSIVE
 edges_raw AS ({digraph_sql()}),
 verts AS (
   SELECT DISTINCT v AS id FROM (
@@ -1599,10 +1599,62 @@ reach AS (
   SELECT id AS u, id AS w FROM verts
   UNION
   SELECT r.u, e.dst AS w FROM reach r JOIN step e ON e.src = r.w
-)
-SELECT a.u AS id, MIN(a.w) AS scc
-FROM reach a JOIN reach b ON a.u = b.w AND a.w = b.u
-GROUP BY a.u ORDER BY id
+),
+scc_map AS (
+  SELECT a.u AS id, MIN(a.w) AS scc
+  FROM reach a JOIN reach b ON a.u = b.w AND a.w = b.u
+  GROUP BY a.u
+)"""
+
+
+def _scc_sql() -> str:
+    """DuckDB oracle for ``scc`` — see _scc_closure_ctes."""
+    return f"""
+WITH RECURSIVE
+{_scc_closure_ctes()}
+SELECT id, scc FROM scc_map ORDER BY id
+"""
+
+
+def q_scc_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Condensation-DAG layering (operators/scc.py:condensation_layers):
+    SCCs contracted to single nodes, longest-path topological layer +
+    member count per condensed node — the ontology-depth view of the
+    directed fixture."""
+    from openie_spark.fixtures.gen_graphs import digraph
+    from openie_spark.operators.scc import condensation_layers
+
+    df = spark.createDataFrame(digraph(), "src bigint, dst bigint")
+    return condensation_layers(df).orderBy("scc")
+
+
+def _scc_layers_sql() -> str:
+    """DuckDB oracle for ``scc_layers``: the shared SCC closure
+    (_scc_closure_ctes), condensation edges as distinct cross-SCC pairs,
+    then a recursive path-length closure whose MAX per node is the
+    longest-path layer (terminates because the condensation is a DAG).
+    Layer seeds CAST to BIGINT so pandas dtypes match Spark's long."""
+    return f"""
+WITH RECURSIVE
+{_scc_closure_ctes()},
+cedges AS (
+  SELECT DISTINCT s1.scc AS csrc, s2.scc AS cdst
+  FROM step e
+  JOIN scc_map s1 ON s1.id = e.src
+  JOIN scc_map s2 ON s2.id = e.dst
+  WHERE s1.scc <> s2.scc
+),
+cnodes AS (SELECT DISTINCT scc AS c FROM scc_map),
+lvl AS (
+  SELECT c, CAST(0 AS BIGINT) AS l FROM cnodes
+  UNION
+  SELECT e.cdst AS c, l.l + 1 AS l FROM lvl l JOIN cedges e ON e.csrc = l.c
+),
+members AS (SELECT scc, COUNT(*) AS n_members FROM scc_map GROUP BY scc)
+SELECT m.scc, x.layer, m.n_members
+FROM (SELECT c AS scc, MAX(l) AS layer FROM lvl GROUP BY c) x
+JOIN members m ON m.scc = x.scc
+ORDER BY m.scc
 """
 
 
@@ -3399,6 +3451,7 @@ QUERIES = {
     "blocking_quality": q_blocking_quality,
     "connected_components": q_connected_components,
     "scc": q_scc,
+    "scc_layers": q_scc_layers,
     "extract_triples": q_extract_triples,
     "clause_stats": q_clause_stats,
     "dep_arc_stats": q_dep_arc_stats,
@@ -3468,6 +3521,7 @@ ORACLE_SQL = {
     "ann_topk": SQL_ANN_TOPK,
     "connected_components": _connected_components_sql(),
     "scc": _scc_sql(),
+    "scc_layers": _scc_layers_sql(),
     "pivot_segment_status": SQL_PIVOT_SEGMENT_STATUS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -22,7 +22,10 @@ from openie_spark.fixtures.gen_graphs import (
     DISO_N,
     digraph,
 )
-from openie_spark.operators.scc import strongly_connected_components
+from openie_spark.operators.scc import (
+    condensation_layers,
+    strongly_connected_components,
+)
 
 
 def _tarjan(edges):
@@ -127,3 +130,46 @@ def test_two_cycle_and_empty(spark):
     assert got == {1: 1, 2: 1, 3: 3}
     empty = spark.createDataFrame([], "src bigint, dst bigint")
     assert strongly_connected_components(empty).count() == 0
+
+
+def _layers_reference(edges):
+    """Condensation + longest-path layers from the Tarjan SCC map."""
+    sccm = _tarjan(edges)
+    cedges = {(sccm[s], sccm[d]) for s, d in edges if sccm[s] != sccm[d]}
+    preds = {}
+    for a, b in cedges:
+        preds.setdefault(b, set()).add(a)
+    layer = {}
+
+    def level(c):
+        if c not in layer:
+            layer[c] = (
+                0 if not preds.get(c) else 1 + max(level(p) for p in preds[c])
+            )
+        return layer[c]
+
+    members = {}
+    for v, c in sccm.items():
+        members[c] = members.get(c, 0) + 1
+    return {c: (level(c), members[c]) for c in set(sccm.values())}
+
+
+def test_condensation_layers_cycle_into_chain(spark):
+    # 2-cycle {1,2} -> 3 -> 4: layers 0, 1, 2; member counts 2, 1, 1
+    edges = [(1, 2), (2, 1), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["scc"]: (r["layer"], r["n_members"])
+        for r in condensation_layers(df).collect()
+    }
+    assert got == {1: (0, 2), 3: (1, 1), 4: (2, 1)}
+
+
+def test_condensation_layers_fixture_matches_reference(spark):
+    edges = digraph()
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    got = {
+        r["scc"]: (r["layer"], r["n_members"])
+        for r in condensation_layers(df).collect()
+    }
+    assert got == _layers_reference(edges)
