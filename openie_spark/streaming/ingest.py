@@ -57,13 +57,22 @@ def stream_source(
                            (timestamp, value).  Used by tests as the real
                            unbounded stand-in for a message bus.
       ``rate-micro-batch`` deterministic per-batch variant (``rowsPerBatch``).
+      ``socket``           Spark's built-in TCP line source (options:
+                           ``host``, ``port``) — one ``value: string``
+                           column per received line.  A REAL push source
+                           (exercised in tests against a live local TCP
+                           server feeding JSON-line documents through
+                           ``jsonl_to_docs``), but NOT fault-tolerant
+                           (no replayable offsets) — dev/test ingest, not
+                           production; production push ingest is kafka.
       ``kafka``            standard connector passthrough; pass
                            ``kafka.bootstrap.servers``, ``subscribe``, etc.
                            Requires the spark-sql-kafka package on the
                            cluster (not in this sandbox); value bytes land
                            as the connector's fixed schema — decode with
-                           ``F.col('value').cast('string')`` + ``from_json``
-                           against DOC_SCHEMA upstream of extract_stage.
+                           ``F.col('value').cast('string')`` +
+                           ``jsonl_to_docs`` (the same wire decode the
+                           socket test drives for real).
 
     Every kind returns an unresolved streaming DataFrame; downstream
     operators (extract_stage is stateless) are identical across kinds.
@@ -76,12 +85,43 @@ def stream_source(
         for k, v in opts.items():
             reader = reader.option(k, v)
         return reader.parquet(path)
+    if kind == "socket":
+        if "host" not in opts or "port" not in opts:
+            raise ValueError("socket source requires host= and port= options")
+        reader = spark.readStream.format("socket")
+        for k, v in opts.items():
+            reader = reader.option(k, v)
+        return reader.load()
     if kind in ("rate", "rate-micro-batch", "kafka"):
         reader = spark.readStream.format(kind)
         for k, v in opts.items():
             reader = reader.option(k, v)
         return reader.load()
     raise ValueError(f"unknown stream source kind: {kind!r}")
+
+
+def jsonl_to_docs(lines: DataFrame, column: str = "value") -> DataFrame:
+    """Decode a wire column of JSON-line documents into DOC_SCHEMA rows —
+    the ONE decode shared by the socket source (its ``value`` lines) and a
+    kafka value column (``F.col('value').cast('string')``), so the two
+    push paths cannot drift.  Malformed lines and lines missing ``doc_id``
+    are dropped (from_json yields NULL) rather than poisoning the stream;
+    span offsets are re-numbered by position so the span-sequence
+    invariant holds regardless of what the producer sent."""
+    doc = F.from_json(F.col(column), DOC_SCHEMA)
+    spans = F.transform(
+        doc["spans"],
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return (
+        lines.select(doc["doc_id"].alias("doc_id"), spans.alias("spans"))
+        .where(F.col("doc_id").isNotNull() & F.col("spans").isNotNull())
+    )
 
 
 # Deterministic value→document templates: every sentence is a RULESET-v3

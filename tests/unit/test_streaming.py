@@ -427,6 +427,8 @@ def test_stream_source_validates_kinds(spark):
         stream_source(spark, "carrier-pigeon")
     with pytest.raises(ValueError, match="requires schema"):
         stream_source(spark, "files")
+    with pytest.raises(ValueError, match="requires host"):
+        stream_source(spark, "socket")
     # kafka is pure option plumbing on the standard connector; absent the
     # package the reader still CONSTRUCTS (load resolves lazily on start)
     # -- the seam itself is source-agnostic.
@@ -436,3 +438,104 @@ def test_stream_source_validates_kinds(spark):
         options={"rowsPerBatch": "8", "numPartitions": "2"},
     )
     assert df.isStreaming and set(df.columns) == {"timestamp", "value"}
+
+
+# ---------------------------------------------------------------------------
+# Push-source path (socket + jsonl_to_docs): a LIVE local TCP server feeds
+# JSON-line documents (with junk lines mixed in) through the wire decoder
+# into the same stateless extract_stage; the drained triples must equal the
+# batch twin built from the same documents.  jsonl_to_docs is also the
+# documented kafka value decode, so this exercises that path's semantics
+# without the connector package.
+# ---------------------------------------------------------------------------
+
+
+def test_socket_source_drives_extraction_like_batch(spark, tmp_path):
+    import json
+    import socket as pysock
+    import threading
+    import time as _t
+
+    from openie_spark.schemas import DOC_SCHEMA
+    from openie_spark.streaming.ingest import (
+        _RATE_DOC_TEMPLATES,
+        jsonl_to_docs,
+        stream_source,
+    )
+
+    docs = []
+    for i in range(24):
+        spans = []
+        if i % 3 == 0:
+            spans.append(
+                {"kind": "image", "text": None, "media_ref": f"img://sock/{i}.bmp", "offset": 0}
+            )
+        spans.append(
+            {
+                "kind": "text",
+                "text": _RATE_DOC_TEMPLATES[i % len(_RATE_DOC_TEMPLATES)],
+                "media_ref": None,
+                "offset": len(spans),
+            }
+        )
+        docs.append({"doc_id": f"sock-{i:04d}", "spans": spans})
+
+    lines = [json.dumps(d) for d in docs]
+    # junk the decoder must drop without poisoning the stream
+    lines.insert(5, "this is not json")
+    lines.insert(11, json.dumps({"spans": []}))  # no doc_id
+    lines.insert(17, json.dumps({"doc_id": "sock-null-spans"}))  # no spans
+    payload = ("\n".join(lines) + "\n").encode()
+
+    srv = pysock.socket(pysock.AF_INET, pysock.SOCK_STREAM)
+    srv.setsockopt(pysock.SOL_SOCKET, pysock.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(payload)
+            done.wait(180)  # keep the connection open while the query runs
+        finally:
+            conn.close()
+            srv.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    twin = extract_stage(
+        spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+            DOC_SCHEMA,
+        )
+    )
+    want = sorted(map(repr, twin.collect()))
+    assert want, "batch twin extracted nothing — templates regressed"
+
+    raw = stream_source(
+        spark, "socket", options={"host": "127.0.0.1", "port": str(port)}
+    )
+    assert raw.isStreaming
+    triples = extract_stage(jsonl_to_docs(raw))
+    q = (
+        triples.writeStream.format("memory")
+        .queryName("sock_triples")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sock_ckpt"))
+        .start()
+    )
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline:
+            if spark.table("sock_triples").count() >= len(want):
+                break
+            _t.sleep(0.5)
+    finally:
+        q.stop()
+        done.set()
+
+    got = sorted(map(repr, spark.table("sock_triples").collect()))
+    assert got == want
