@@ -2890,6 +2890,81 @@ SELECT id, CAST(MIN(d) AS INT) AS dist FROM bfs GROUP BY id ORDER BY id
 """
 
 
+# Weighted SSSP over the DIRECTED fixture: the integer weight formula is
+# spelled ONCE (interpolated into the Spark column and the DuckDB oracle —
+# the lang_id lockstep pattern); seeds cover one node per shape family,
+# including a self-loop isolate (pins the seeds-always-present contract).
+SSSP_W_MOD = 5
+_SSSP_W_SQL = f"1 + (src + dst) % {SSSP_W_MOD}"
+
+
+def _sssp_seeds() -> list[int]:
+    from openie_spark.fixtures.gen_graphs import (
+        DBIPATH_BASE,
+        DBRIDGE_BASE,
+        DCHAIN_BASE,
+        DCYC_BASE,
+        DFUN_BASE,
+        DISO_BASE,
+    )
+
+    return [
+        DCHAIN_BASE,      # chain head: the deepest weighted path
+        DCYC_BASE,        # a pure cycle
+        DBIPATH_BASE + 3, # mid doubly-linked path: both directions
+        DFUN_BASE,        # functional rho
+        DBRIDGE_BASE,     # reaches across the one-way bridge
+        DISO_BASE,        # self-loop isolate: dist 0, no expansion
+    ]
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths (operators/bfs.py:sssp_distances — the
+    Bellman-Ford fixpoint companion to hop-BFS: a node discovered early
+    may be relaxed by a cheaper longer-hop path, which khop cannot
+    express).  Directed fixture edges, weight = {_SSSP_W_SQL}; exact
+    integer distances so values hash bit-identically across engines."""
+    from openie_spark.fixtures.gen_graphs import digraph
+    from openie_spark.operators.bfs import sssp_distances
+
+    e = spark.createDataFrame(digraph(), "src bigint, dst bigint")
+    wedges = e.where(F.col("src") != F.col("dst")).select(
+        "src",
+        "dst",
+        (F.lit(1) + (F.col("src") + F.col("dst")) % SSSP_W_MOD).cast("long").alias("w"),
+    )
+    return sssp_distances(wedges, _sssp_seeds()).orderBy("id")
+
+
+def _sssp_sql() -> str:
+    """Recursive weighted min-distance propagation.  The recursive CTE's
+    bare UNION dedups the (id, d) working table; the ``<= cap`` guard
+    (cap = |V|·Wmax ≥ any shortest path, which has ≤ |V|-1 edges) bounds
+    cycle wandering so the recursion terminates.  MIN over the accumulated
+    distances = the true shortest distance."""
+    from openie_spark.fixtures.gen_graphs import digraph, digraph_sql
+
+    n_nodes = len({x for edge in digraph() for x in edge})
+    cap = SSSP_W_MOD * n_nodes
+    seeds = ", ".join(f"({s})" for s in _sssp_seeds())
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({digraph_sql()}),
+wedges AS (
+  SELECT src, dst, CAST({_SSSP_W_SQL} AS BIGINT) AS w
+  FROM edges_raw WHERE src <> dst
+),
+walk AS (
+  SELECT CAST(id AS BIGINT) AS id, CAST(0 AS BIGINT) AS d FROM (VALUES {seeds}) t(id)
+  UNION
+  SELECT e.dst AS id, walk.d + e.w AS d
+  FROM walk JOIN wedges e ON e.src = walk.id
+  WHERE walk.d + e.w <= {cap}
+)
+SELECT id, MIN(d) AS dist FROM walk GROUP BY id ORDER BY id
+"""
+
+
 # Decontamination: one constant drives the Spark operator and the SQL oracle
 # (the lang_id pattern), so the two sides cannot drift.
 DECONTAM_N = 5
@@ -3452,6 +3527,7 @@ QUERIES = {
     "connected_components": q_connected_components,
     "scc": q_scc,
     "scc_layers": q_scc_layers,
+    "sssp": q_sssp,
     "extract_triples": q_extract_triples,
     "clause_stats": q_clause_stats,
     "dep_arc_stats": q_dep_arc_stats,
@@ -3522,6 +3598,7 @@ ORACLE_SQL = {
     "connected_components": _connected_components_sql(),
     "scc": _scc_sql(),
     "scc_layers": _scc_layers_sql(),
+    "sssp": _sssp_sql(),
     "pivot_segment_status": SQL_PIVOT_SEGMENT_STATUS,
     "train_val_split": SQL_TRAIN_VAL_SPLIT,
     "repetition_stats": SQL_REPETITION_STATS,

@@ -80,3 +80,81 @@ def test_deterministic_across_parallelism(spark):
     a = sorted(map(tuple, khop_distances(df1, [0, 7], 4).collect()))
     b = sorted(map(tuple, khop_distances(df4, [0, 7], 4).collect()))
     assert a == b == sorted(_reference(edges, [0, 7], 4).items())
+
+
+# ---------------------------------------------------------------------------
+# Weighted SSSP (sssp_distances): Bellman-Ford fixpoint vs a pure-Python
+# Dijkstra reference, plus the re-relaxation property hop-BFS cannot express.
+# ---------------------------------------------------------------------------
+
+
+def _dijkstra(wedges, sources):
+    import heapq
+
+    adj = {}
+    for s, d, w in wedges:
+        adj.setdefault(s, []).append((d, w))
+    dist = {s: 0 for s in sources}
+    pq = [(0, s) for s in sources]
+    heapq.heapify(pq)
+    while pq:
+        dd, u = heapq.heappop(pq)
+        if dd > dist.get(u, 1 << 62):
+            continue
+        for v, w in adj.get(u, []):
+            nd = dd + w
+            if nd < dist.get(v, 1 << 62):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def _run_sssp(spark, wedges, sources):
+    from openie_spark.operators.bfs import sssp_distances
+
+    df = spark.createDataFrame(wedges, "src bigint, dst bigint, w bigint")
+    rows = sssp_distances(df, sources).collect()
+    got = {r["id"]: r["dist"] for r in rows}
+    assert len(rows) == len(got), "duplicate id rows"
+    return got
+
+
+def test_sssp_relaxes_early_discovery(spark):
+    # direct edge costs 9; the 3-hop detour costs 3 — a hop-BFS would
+    # settle node 2 at the direct discovery, SSSP must re-relax it
+    wedges = [(1, 2, 9), (1, 3, 1), (3, 4, 1), (4, 2, 1)]
+    got = _run_sssp(spark, wedges, [1])
+    assert got == {1: 0, 2: 3, 3: 1, 4: 2}
+
+
+def test_sssp_fixture_matches_dijkstra(spark):
+    from openie_spark.fixtures.gen_graphs import digraph
+    from openie_spark.plans.registry import SSSP_W_MOD, _sssp_seeds
+
+    wedges = [
+        (s, d, 1 + (s + d) % SSSP_W_MOD) for s, d in digraph() if s != d
+    ]
+    got = _run_sssp(spark, wedges, _sssp_seeds())
+    assert got == _dijkstra(wedges, _sssp_seeds())
+
+
+def test_sssp_random_digraphs_match_dijkstra(spark):
+    import random
+
+    for seed in (11, 42):
+        rng = random.Random(seed)
+        n = 40
+        wedges = [
+            (a, b, rng.randint(1, 7))
+            for a in range(n)
+            for b in range(n)
+            if a != b and rng.random() < 0.06
+        ]
+        sources = [0, n // 2]
+        got = _run_sssp(spark, wedges, sources)
+        assert got == _dijkstra(wedges, sources)
+
+
+def test_sssp_seed_without_edges_is_present(spark):
+    got = _run_sssp(spark, [(1, 2, 5)], [1, 99])
+    assert got == {1: 0, 2: 5, 99: 0}
