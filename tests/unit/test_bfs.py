@@ -158,3 +158,14 @@ def test_sssp_random_digraphs_match_dijkstra(spark):
 def test_sssp_seed_without_edges_is_present(spark):
     got = _run_sssp(spark, [(1, 2, 5)], [1, 99])
     assert got == {1: 0, 2: 5, 99: 0}
+
+
+def test_sssp_deterministic_across_parallelism(spark):
+    wedges = [(i, (i * 7 + 1) % 60, 1 + (i % 4)) for i in range(60)]
+    df1 = spark.createDataFrame(wedges, "src bigint, dst bigint, w bigint").repartition(1)
+    df5 = spark.createDataFrame(wedges, "src bigint, dst bigint, w bigint").repartition(5)
+    from openie_spark.operators.bfs import sssp_distances
+
+    a = sorted(map(tuple, sssp_distances(df1, [0, 7]).collect()))
+    b = sorted(map(tuple, sssp_distances(df5, [0, 7]).collect()))
+    assert a == b == sorted(_dijkstra(wedges, [0, 7]).items())

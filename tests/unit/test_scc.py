@@ -173,3 +173,15 @@ def test_condensation_layers_fixture_matches_reference(spark):
         for r in condensation_layers(df).collect()
     }
     assert got == _layers_reference(edges)
+
+
+def test_scc_and_layers_deterministic_across_parallelism(spark):
+    edges = digraph()
+    df1 = spark.createDataFrame(edges, "src bigint, dst bigint").repartition(1)
+    df7 = spark.createDataFrame(edges, "src bigint, dst bigint").repartition(7)
+    a = sorted(map(tuple, strongly_connected_components(df1).collect()))
+    b = sorted(map(tuple, strongly_connected_components(df7).collect()))
+    assert a == b
+    la = sorted(map(tuple, condensation_layers(df1).collect()))
+    lb = sorted(map(tuple, condensation_layers(df7).collect()))
+    assert la == lb
