@@ -70,6 +70,65 @@ def exact_dedup(
     )
 
 
+CHUNK_DEDUP_TOKENS = 8  # one home: the registry oracle interpolates this
+
+
+def chunk_dedup_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = CHUNK_DEDUP_TOKENS,
+) -> DataFrame:
+    """Sub-document exact dedup at fixed-window granularity — the
+    chunk-level approximation of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): repeated boilerplate inside otherwise-distinct documents is
+    what whole-document hashing (exact_dedup) cannot see.
+
+    Chunking is delegated to text_analysis.chunk_documents with overlap=0
+    (the chunking one-home — same tokenization rule, same window math as
+    the doc_chunks query), each chunk is md5-hashed, and the corpus-wide
+    FIRST occurrence (smallest (doc_id, chunk_idx)) is the keeper.  Emits
+    one row per input document: (doc_id, n_chunks, n_kept, kept_tokens) —
+    chunkless (empty) docs appear with zeros.
+
+    Plan: one sort-window over chunk_md5 marks keepers (a full window,
+    not WindowGroupLimit — dropped chunks are counted too; the sort
+    spills, so a pathological hot chunk cannot OOM an executor, same
+    posture as exact_dedup's bounded members), then one groupBy(doc_id)
+    roll-up + a left join back to the doc universe.  Two shuffles + one
+    join at any corpus size; no Python anywhere."""
+    from pyspark.sql.window import Window
+
+    from openie_spark.operators.text_analysis import chunk_documents
+
+    ch = chunk_documents(
+        df, id_col, text_col, chunk_tokens=chunk_tokens, overlap=0
+    ).select(
+        F.col(id_col).alias("_did"),
+        "chunk_idx",
+        "n_tokens",
+        F.md5("chunk_text").alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy("_did", "chunk_idx")
+    ranked = ch.withColumn("_kept", (F.row_number().over(w) == 1).cast("int"))
+    per_doc = ranked.groupBy("_did").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum("_kept").alias("n_kept"),
+        F.sum(F.col("_kept") * F.col("n_tokens")).alias("kept_tokens"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, F.col(id_col) == F.col("_did"), "left")
+        .select(
+            id_col,
+            F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+        )
+    )
+
+
 def word_shingles_col(text_col: str, n: int = 3):
     """Word n-gram shingles, JVM-side: split → sliding windows via
     transform(sequence(...)) → concat_ws → distinct."""

@@ -3485,6 +3485,158 @@ def _kg_skipgrams_sql() -> str:
     )
 
 
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (operators/labelprop.py)
+    over the CC fixture graphs — community detection as the third iterative
+    DataFrame algorithm with a full DuckDB recursive-CTE oracle.  The fused
+    integer vote priority (count·PRI_SCALE − label) makes the per-round
+    argmax unique, so values are bit-identical across engines."""
+    from openie_spark.fixtures.gen_graphs import all_graphs
+    from openie_spark.operators.labelprop import label_propagation
+
+    raw, _ = all_graphs()
+    e = spark.createDataFrame(raw, "src bigint, dst bigint")
+    return label_propagation(e).orderBy("id")
+
+
+def _label_prop_sql() -> str:
+    """Helper CTEs use UNION ALL + explicit DISTINCT (the WITH RECURSIVE
+    gotcha, see _pagerank_sql).  The recursive term mirrors labelprop.py:
+    vote counts per (node, label) then arg_max on the fused priority."""
+    from openie_spark.fixtures.gen_graphs import edges_sql
+    from openie_spark.operators.labelprop import LABEL_PROP_ITERS, PRI_SCALE
+
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({edges_sql()}),
+und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM edges_raw
+    UNION ALL SELECT dst AS src, src AS dst FROM edges_raw
+    UNION ALL SELECT src, src AS dst FROM edges_raw
+    UNION ALL SELECT dst AS src, dst FROM edges_raw
+  )
+),
+lp AS (
+  SELECT 0 AS iter, src AS id, src AS label
+  FROM (SELECT DISTINCT src FROM und)
+  UNION ALL
+  SELECT iter, id, CAST(arg_max(label, pri) AS BIGINT) AS label FROM (
+    SELECT l.iter + 1 AS iter, e.dst AS id, l.label,
+           COUNT(*) * {PRI_SCALE} - l.label AS pri
+    FROM lp l JOIN und e ON e.src = l.id
+    WHERE l.iter < {LABEL_PROP_ITERS}
+    GROUP BY l.iter + 1, e.dst, l.label
+  ) GROUP BY iter, id
+)
+SELECT id, label FROM lp WHERE iter = {LABEL_PROP_ITERS} ORDER BY id
+"""
+
+
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-integer HITS hubs & authorities (operators/hits.py) over the
+    directed SCC fixture — normalization-free int64 recurrence so every
+    value is bit-identical to the DuckDB recursive oracle."""
+    from openie_spark.fixtures.gen_graphs import digraph
+    from openie_spark.operators.hits import hits_scores
+
+    e = spark.createDataFrame(digraph(), "src bigint, dst bigint")
+    return hits_scores(e).orderBy("id")
+
+
+def _hits_sql() -> str:
+    """The recursion carries hub only (auth is the intermediate aggregate
+    inside each step); the final select recomputes round-K auth from the
+    round-(K−1) hubs, exactly as the operator's last loop iteration does."""
+    from openie_spark.fixtures.gen_graphs import digraph_sql
+    from openie_spark.operators.hits import HITS_ITERS, HITS_SEED
+
+    return f"""
+WITH RECURSIVE
+edges_raw AS ({digraph_sql()}),
+e AS (SELECT DISTINCT src, dst FROM edges_raw),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+  )
+),
+h AS (
+  SELECT 0 AS iter, id, CAST({HITS_SEED} AS BIGINT) AS hub FROM nodes
+  UNION ALL
+  SELECT iter, id, CAST(SUM(auth) AS BIGINT) AS hub FROM (
+    SELECT a.iter, e2.src AS id, a.auth
+    FROM (
+      SELECT hh.iter + 1 AS iter, e1.dst AS ad, SUM(hh.hub) AS auth
+      FROM h hh JOIN e e1 ON e1.src = hh.id
+      WHERE hh.iter < {HITS_ITERS}
+      GROUP BY hh.iter + 1, e1.dst
+    ) a JOIN e e2 ON e2.dst = a.ad
+  ) GROUP BY iter, id
+)
+SELECT n.id,
+       CAST(COALESCE(hf.hub, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(af.auth, 0) AS BIGINT) AS auth
+FROM nodes n
+LEFT JOIN (SELECT id, hub FROM h WHERE iter = {HITS_ITERS}) hf ON hf.id = n.id
+LEFT JOIN (
+  SELECT e1.dst AS id, CAST(SUM(hh.hub) AS BIGINT) AS auth
+  FROM h hh JOIN e e1 ON e1.src = hh.id
+  WHERE hh.iter = {HITS_ITERS - 1}
+  GROUP BY e1.dst
+) af ON af.id = n.id
+ORDER BY n.id
+"""
+
+
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document chunk-level exact dedup (operators/dedup.py
+    chunk_dedup_stats — Lee et al. 2022 at fixed-window granularity):
+    per-doc kept/dropped chunk counts with corpus-wide first-occurrence
+    keepers.  Fully oracle-checked; the chunking math is the doc_chunks
+    one-home (text_analysis.chunk_documents)."""
+    from openie_spark.operators.dedup import chunk_dedup_stats
+
+    d = load(spark, sf_dir, "documents")
+    return chunk_dedup_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+def _chunk_dedup_sql() -> str:
+    from openie_spark.operators.dedup import CHUNK_DEDUP_TOKENS as W
+
+    return rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+c AS (
+  SELECT doc_id, i AS chunk_idx,
+         array_to_string(w[i*{W}+1 : i*{W}+{W}], ' ') AS ct
+  FROM t, unnest(range(0, GREATEST(CAST(CEIL(len(w) / {W}.0) AS BIGINT), 1))) AS u(i)
+  WHERE len(w) > 0
+),
+r AS (
+  SELECT doc_id, chunk_idx,
+         len(string_split(ct, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY md5(ct) ORDER BY doc_id, chunk_idx) AS rn
+  FROM c
+),
+pd AS (
+  SELECT doc_id,
+         COUNT(*) AS n_chunks,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+         SUM(CASE WHEN rn = 1 THEN n_tokens ELSE 0 END) AS kept_tokens
+  FROM r GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(pd.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(pd.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(pd.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3568,6 +3720,9 @@ QUERIES = {
     "supplier_volume": q_supplier_volume,
     "kg_walks": q_kg_walks,
     "kg_skipgrams": q_kg_skipgrams,
+    "label_prop": q_label_prop,
+    "hits": q_hits,
+    "chunk_dedup": q_chunk_dedup,
 }
 
 ORACLE_SQL = {
@@ -3633,6 +3788,9 @@ ORACLE_SQL = {
     "supplier_volume": SQL_SUPPLIER_VOLUME,
     "kg_walks": _kg_walks_sql(),
     "kg_skipgrams": _kg_skipgrams_sql(),
+    "label_prop": _label_prop_sql(),
+    "hits": _hits_sql(),
+    "chunk_dedup": _chunk_dedup_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

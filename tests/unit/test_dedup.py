@@ -268,3 +268,61 @@ def test_near_dup_groups_transitive_closure(spark):
         for r in near_dup_groups(df, "doc_id", "text", 0.5).collect()
     }
     assert groups == {1: 1, 2: 1, 3: 1}  # closed; keeper = min id; 4 absent
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (chunk_dedup_stats)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_ref(rows, w):
+    """Pure-Python twin: chunk on whitespace-lower tokens, W-word windows,
+    keeper = smallest (doc_id, chunk_idx) per chunk text."""
+    chunks = []  # (doc_id, idx, n_tokens, text)
+    for did, text in rows:
+        toks = [t for t in text.lower().split() if t]
+        for i in range(max(-(-len(toks) // w), 1) if toks else 0):
+            win = toks[i * w : i * w + w]
+            chunks.append((did, i, len(win), " ".join(win)))
+    first = {}
+    for did, i, n, ct in sorted(chunks):
+        first.setdefault(ct, (did, i))
+    out = {did: [0, 0, 0] for did, _ in rows}
+    for did, i, n, ct in chunks:
+        out[did][0] += 1
+        if first[ct] == (did, i):
+            out[did][1] += 1
+            out[did][2] += n
+    return {d: tuple(v) for d, v in out.items()}
+
+
+def test_chunk_dedup_matches_reference(spark):
+    from openie_spark.operators.dedup import chunk_dedup_stats
+
+    rows = [
+        (1, "a b c d e f g h i j"),          # 2 chunks of 4 + tail of 2 (w=4)
+        (2, "a b c d x y z w"),               # first chunk dups doc 1's
+        (3, "a b c d e f g h a b c d"),       # dups doc 1 chunk 0 twice over
+        (4, ""),                               # chunkless → zeros
+        (5, "q r"),                            # single short chunk
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"], r["kept_tokens"])
+        for r in chunk_dedup_stats(df, chunk_tokens=4).collect()
+    }
+    assert got == _chunk_ref(rows, 4)
+    assert got[4] == (0, 0, 0)
+    # doc 2's first chunk is a duplicate of doc 1's chunk 0 → dropped
+    assert got[2][1] < got[2][0]
+
+
+def test_chunk_dedup_first_occurrence_wins(spark):
+    from openie_spark.operators.dedup import chunk_dedup_stats
+
+    rows = [(10, "a b c d"), (11, "a b c d"), (12, "a b c d")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"]) for r in chunk_dedup_stats(df, chunk_tokens=4).collect()
+    }
+    assert got == {10: (1, 1), 11: (1, 0), 12: (1, 0)}
