@@ -3637,6 +3637,97 @@ ORDER BY d.doc_id
 """
 
 
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact Lloyd's k-means over the int8-quantized embedding
+    table (operators/kmeans.py) — the clustering member of the similarity
+    family, fully oracle-checked: deterministic hash seeding, int64
+    squared-L2 assignment with id tie-break, truncate-toward-zero centroid
+    means.  The DuckDB oracle unrolls the fixed iteration count as chained
+    CTEs (no recursion needed — the loop bound is a frozen constant)."""
+    from openie_spark.operators.kmeans import kmeans_int8
+
+    e = load(spark, sf_dir, "embeddings")
+    return kmeans_int8(e, "vec_id", "embedding").orderBy("vec_id")
+
+
+def _kmeans_sql() -> str:
+    """Unrolled Lloyd iterations: cent{t} → d{t} (distances) → a{t}
+    (assignment) → cent{t+1} (trunc-div means, empty clusters keep their
+    centroid via the NULL-CASE + COALESCE).  Quantization CTEs mirror
+    SQL_EMBEDDING_QUANTIZE; seeding mirrors kmeans_int8 (portable 60-bit
+    hash order, one home: functions/hashing.py)."""
+    from openie_spark.functions.hashing import portable_hash60_sql
+    from openie_spark.operators.kmeans import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_TIE_SCALE,
+    )
+    from openie_spark.operators.similarity import SRP_DIM
+
+    h = portable_hash60_sql("CAST(vec_id AS VARCHAR)")
+    body = f"""
+WITH t AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS vm
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, vm,
+         COALESCE(list_max(list_transform(vm, x -> abs(x))), 0) AS sc
+  FROM t
+),
+qq AS (
+  SELECT vec_id,
+         list_transform(vm, v -> CASE WHEN sc = 0 THEN 0
+                                      WHEN v < 0 THEN -((-v) * 127 // sc)
+                                      ELSE (v * 127) // sc END) AS qv
+  FROM s
+),
+vecs AS (
+  SELECT vec_id, i - 1 AS dim, qv[i] AS x
+  FROM qq, unnest(range(1, {SRP_DIM} + 1)) AS u(i)
+),
+seeds AS (
+  SELECT vec_id, qv,
+         row_number() OVER (ORDER BY {h} ASC, vec_id ASC) AS rn
+  FROM qq
+),
+cent0 AS (
+  SELECT rn - 1 AS cid, i - 1 AS dim, qv[i] AS cv
+  FROM seeds, unnest(range(1, {SRP_DIM} + 1)) AS u(i)
+  WHERE rn <= {KMEANS_K}
+)"""
+    for it in range(KMEANS_ITERS + 1):
+        body += f""",
+d{it} AS (
+  SELECT v.vec_id, c.cid, SUM((v.x - c.cv) * (v.x - c.cv)) AS dist
+  FROM vecs v JOIN cent{it} c ON c.dim = v.dim
+  GROUP BY v.vec_id, c.cid
+),
+a{it} AS (
+  SELECT vec_id,
+         CAST(arg_min(cid, dist * {KMEANS_TIE_SCALE} + cid) AS BIGINT) AS cluster,
+         CAST(MIN(dist * {KMEANS_TIE_SCALE} + cid) // {KMEANS_TIE_SCALE} AS BIGINT) AS dist
+  FROM d{it} GROUP BY vec_id
+)"""
+        if it < KMEANS_ITERS:
+            body += f""",
+cent{it + 1} AS (
+  SELECT c.cid, c.dim,
+         COALESCE(CASE WHEN su.sm < 0 THEN -((-su.sm) // su.n)
+                       ELSE su.sm // su.n END, c.cv) AS cv
+  FROM cent{it} c LEFT JOIN (
+    SELECT a.cluster AS cid, v.dim, SUM(v.x) AS sm, COUNT(*) AS n
+    FROM a{it} a JOIN vecs v USING (vec_id) GROUP BY 1, 2
+  ) su ON su.cid = c.cid AND su.dim = c.dim
+)"""
+    body += f"""
+SELECT vec_id, cluster, dist FROM a{KMEANS_ITERS} ORDER BY vec_id
+"""
+    return body
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3723,6 +3814,7 @@ QUERIES = {
     "label_prop": q_label_prop,
     "hits": q_hits,
     "chunk_dedup": q_chunk_dedup,
+    "kmeans": q_kmeans,
 }
 
 ORACLE_SQL = {
@@ -3791,6 +3883,7 @@ ORACLE_SQL = {
     "label_prop": _label_prop_sql(),
     "hits": _hits_sql(),
     "chunk_dedup": _chunk_dedup_sql(),
+    "kmeans": _kmeans_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

@@ -1,0 +1,119 @@
+"""Integer-exact Lloyd's k-means (operators/kmeans.py): equality with a
+pure-Python twin (quantization + seeding + assignment + trunc-div update
+all replayed single-process), empty-cluster semantics, determinism across
+parallelism, and the seed-count guard.
+
+Test vectors use dyadic milli-exact floats (x*1000 integral in binary
+float) so the twin's round() can never diverge from Spark/DuckDB ROUND."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from openie_spark.operators.kmeans import _trunc_div, kmeans_int8
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _quant(vec: list[float]) -> list[int]:
+    vm = [round(x * 1000) for x in vec]  # exact by construction (dyadic)
+    sc = max((abs(v) for v in vm), default=0)
+    if sc == 0:
+        return [0] * len(vm)
+    return [-((-v) * 127 // sc) if v < 0 else (v * 127) // sc for v in vm]
+
+
+def _reference(rows: list[tuple[int, list[float]]], k: int, iters: int):
+    q = {vid: _quant(v) for vid, v in rows}
+    seed_ids = sorted(q, key=lambda vid: (_h60(str(vid)), vid))[:k]
+    cents = [list(q[vid]) for vid in seed_ids]
+
+    def assign():
+        out = {}
+        for vid, v in q.items():
+            best = min(
+                (sum((x - c) * (x - c) for x, c in zip(v, cv)), cid)
+                for cid, cv in enumerate(cents)
+            )
+            out[vid] = best  # (dist, cid)
+        return out
+
+    for _ in range(iters):
+        a = assign()
+        sums = {}
+        for vid, (_, cid) in a.items():
+            s, n = sums.setdefault(cid, ([0] * len(q[vid]), 0))
+            sums[cid] = ([x + y for x, y in zip(s, q[vid])], n + 1)
+        for cid, (s, n) in sums.items():
+            cents[cid] = [_trunc_div(x, n) for x in s]
+    return {vid: (cid, dist) for vid, (dist, cid) in assign().items()}
+
+
+def _collect(df):
+    return {r["vec_id"]: (r["cluster"], r["dist"]) for r in df.collect()}
+
+
+def test_trunc_div_matches_duckdb_semantics():
+    assert _trunc_div(7, 2) == 3
+    assert _trunc_div(-7, 2) == -3  # python -7 // 2 == -4 (floor) — not this
+    assert _trunc_div(0, 5) == 0
+
+
+def test_matches_python_reference(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.875, 0.125, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.25]),
+        (4, [0.0, 0.125, 0.875, 0.5]),
+        (5, [-0.5, 0.0, 0.5, 0.0]),
+        (6, [0.75, -0.25, 0.0, 0.125]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = _collect(kmeans_int8(df, k=2, iters=2))
+    assert got == _reference(rows, 2, 2)
+
+
+def test_identical_vectors_all_land_in_lowest_cluster(spark):
+    # all points identical → every distance ties at 0 → cluster 0 wins;
+    # cluster 1 goes empty and must keep its (identical) centroid
+    rows = [(i, [0.5, -0.5, 0.25, 0.0]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = _collect(kmeans_int8(df, k=2, iters=2))
+    assert got == {i: (0, 0) for i in range(5)}
+    assert got == _reference(rows, 2, 2)
+
+
+def test_separated_blobs_recovered(spark):
+    # two far-apart groups: whatever the seeds, 2-means at 2 iters must
+    # put each blob in one cluster
+    a = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(3)]
+    b = [(10 + i, [-1.0, -1.0, 0.0, 0.0]) for i in range(3)]
+    df = spark.createDataFrame(a + b, "vec_id bigint, embedding array<float>")
+    got = _collect(kmeans_int8(df, k=2, iters=2))
+    assert got == _reference(a + b, 2, 2)
+    ca = {got[i][0] for i, _ in a}
+    cb = {got[i][0] for i, _ in b}
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_deterministic_across_parallelism(spark):
+    rows = [
+        (i, [((i * 7 + d * 3) % 16) / 8.0 - 1.0 for d in range(4)])
+        for i in range(24)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    one = _collect(kmeans_int8(df.repartition(1), k=3, iters=3))
+    par = _collect(kmeans_int8(df.repartition(4), k=3, iters=3))
+    assert one == par == _reference(rows, 3, 3)
+
+
+def test_too_few_rows_raises(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="needs >= 3"):
+        kmeans_int8(df, k=3, iters=1)
