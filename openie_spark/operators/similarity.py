@@ -339,9 +339,12 @@ def cosine_near_dup_pairs(
 #   1. milli-unit integerize:  v = round(x * 1000)::bigint
 #   2. per-vector scale:       s = max(abs(v))            (0 for zero vecs)
 #   3. quantize:               q = sign(v) * ((abs(v) * 127) div s)
-# The sign split matters: Spark's `div` truncates toward zero while
-# DuckDB's `//` floors, so negative operands disagree — positive-only
-# integral division is the portable core, sign re-applied outside.
+# The sign split forces truncate-toward-zero semantics explicitly.  Spark
+# `div` and DuckDB `//` both truncate toward zero on every sign (fuzz-
+# pinned, tests/unit/test_intdiv_twin.py), so the split is a no-op between
+# the two engines — but PYTHON `//` floors, and the pure-Python twin
+# fixtures replay this formula, so the positive-only core is what keeps
+# all three implementations in lockstep.
 # ---------------------------------------------------------------------------
 
 QUANT_LEVELS = 127

@@ -2735,8 +2735,9 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding column (similarity.
     quantize_embeddings) — exact integer arithmetic end-to-end, so the
     md5 over the quantized vector pins EVERY element against the oracle.
-    The sign-split positive `div` is the portable core (Spark div
-    truncates, DuckDB // floors — they agree only on non-negatives)."""
+    The sign-split positive `div` is the portable core (Spark div and
+    DuckDB // both truncate toward zero — fuzz-pinned — but Python //
+    floors, and the pure-Python twins replay this formula)."""
     from openie_spark.operators.similarity import quantize_embeddings
 
     e = load(spark, sf_dir, "embeddings")
