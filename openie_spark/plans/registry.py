@@ -3638,6 +3638,60 @@ ORDER BY d.doc_id
 """
 
 
+def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation run AS A STREAM (file source
+    → append-mode parquet sink, Trigger.AvailableNow) — the second fully
+    oracle-checked streaming query after stream_sessions.  Append mode
+    makes watermark semantics observable: only windows finalized by the
+    final watermark (window end <= max ts − 1h, inclusive) reach the sink;
+    the DuckDB oracle states exactly that filter.  Same content-fingerprint
+    build-once cache as q_stream_sessions (self-invalidating; a timed-out
+    drain raises rather than serving a partial sink)."""
+    from openie_spark.plans.checkpoint import table_fingerprint
+    from openie_spark.streaming.ingest import stream_counts_to_parquet
+
+    events = load(spark, sf_dir, "events").select("ts", "event_type")
+    digest = table_fingerprint(events).replace(":", "_").replace("-", "n")
+
+    def _build(base: Path) -> None:
+        in_dir, ck, out = str(base / "in"), str(base / "ck"), str(base / "out")
+        # one input file → one micro-batch, so no row can be dropped as
+        # late against a watermark raised by an earlier batch
+        events.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        q = stream_counts_to_parquet(spark, in_dir, events.schema, ck, out)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_counts did not drain within 600s")
+
+    name = f"stream_counts_{Path(sf_dir).name}_{digest}"
+    base = store.FIXTURE_DIR / name
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        _build(base)
+        marker.touch()
+    return spark.read.parquet(str(base / "out")).orderBy(
+        "window_start_us", "event_type"
+    )
+
+
+def _stream_counts_sql() -> str:
+    from openie_spark.streaming.ingest import HOUR_US
+
+    return f"""
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+w AS (
+  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type
+  FROM events
+)
+SELECT window_start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM w, mx
+WHERE window_start_us + {HOUR_US} <= mx.m - {HOUR_US}
+GROUP BY window_start_us, event_type
+ORDER BY window_start_us, event_type
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd's k-means over the int8-quantized embedding
     table (operators/kmeans.py) — the clustering member of the similarity
@@ -3816,6 +3870,7 @@ QUERIES = {
     "hits": q_hits,
     "chunk_dedup": q_chunk_dedup,
     "kmeans": q_kmeans,
+    "stream_counts": q_stream_counts,
 }
 
 ORACLE_SQL = {
@@ -3885,6 +3940,7 @@ ORACLE_SQL = {
     "hits": _hits_sql(),
     "chunk_dedup": _chunk_dedup_sql(),
     "kmeans": _kmeans_sql(),
+    "stream_counts": _stream_counts_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

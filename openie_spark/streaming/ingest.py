@@ -223,6 +223,46 @@ def windowed_event_counts(events: DataFrame, watermark: str = "1 hour") -> DataF
     )
 
 
+# 1 hour in microseconds — the tumbling-window size AND the watermark delay
+# of windowed_event_counts' defaults.  The stream_counts oracle (registry)
+# interpolates this; if the "1 hour" strings above ever change, this
+# constant must move with them (lang_id lockstep rule).
+HOUR_US = 3_600_000_000
+
+
+def stream_counts_to_parquet(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    checkpoint_dir: str,
+    output_dir: str,
+):
+    """File-source → watermarked hourly counts → exactly-once parquet sink
+    in APPEND mode: only watermark-FINALIZED windows reach the sink.  A
+    window [s, s+1h) is emitted iff s + 1h <= final watermark
+    (= max event time − 1h); the boundary is INCLUSIVE (window end equal
+    to the watermark is emitted — pinned by
+    test_stream_counts_emission_boundary).  Windows still open when the
+    AvailableNow run drains stay in state and are never emitted — exactly
+    the contract a downstream consumer of an append sink relies on.
+    Emits (window_start_us bigint, event_type, n) — epoch micros, not
+    timestamps, so the driver canonicalizer sees one integer dtype."""
+    events = spark.readStream.schema(schema).parquet(input_dir)
+    agg = windowed_event_counts(events).select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        "event_type",
+        "n",
+    )
+    return (
+        agg.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_event_counts(
     spark: SparkSession,
     input_dir: str,

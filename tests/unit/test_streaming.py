@@ -68,6 +68,43 @@ def test_windowed_counts_from_events_dir(spark, tmp_path):
     assert a == b and len(a) > 0
 
 
+def test_stream_counts_emission_boundary(spark, tmp_path):
+    """Append-mode parquet sink emits exactly the watermark-FINALIZED
+    windows: end <= final watermark (INCLUSIVE — the [03:00,04:00) window
+    whose end equals wm = max_ts − 1h IS emitted), and the max-ts window
+    never is.  This is the frozen semantic the stream_counts oracle
+    states."""
+    from openie_spark.streaming.ingest import stream_counts_to_parquet
+
+    rows = [
+        (1, "2024-01-01 00:30:00", "a"),
+        (2, "2024-01-01 01:30:00", "a"),
+        (3, "2024-01-01 02:30:00", "b"),
+        (4, "2024-01-01 03:30:00", "a"),
+        (5, "2024-01-01 05:00:00", "b"),  # max ts → wm = 04:00
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts string, event_type string"
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    in_dir = str(tmp_path / "sc_in")
+    df.coalesce(1).write.parquet(in_dir)
+    q = stream_counts_to_parquet(
+        spark, in_dir, df.schema, str(tmp_path / "sc_ck"), str(tmp_path / "sc_out")
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.read.parquet(str(tmp_path / "sc_out")).collect())
+    )
+    h = 3_600_000_000
+    base = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+    assert got == [
+        (base + 0 * h, "a", 1),
+        (base + 1 * h, "a", 1),
+        (base + 2 * h, "b", 1),
+        (base + 3 * h, "a", 1),  # end == wm: emitted (inclusive boundary)
+    ]
+
+
 def test_stateful_sessionize_matches_batch_twin(spark, tmp_path):
     """applyInPandasWithState sessionization: the closed-session set must
     equal the batch twin (same gap rule, each user's last session open),
