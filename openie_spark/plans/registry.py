@@ -3638,6 +3638,29 @@ ORDER BY d.doc_id
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BPE merge learning (operators/bpe.py) — tokenizer
+    TRAINING as a DataFrame program: the learned merge table over the
+    documents corpus, bit-reproducible (exact integer pair counts + the
+    frozen total tie-break).  Oracle = identity scan over the pure-Python
+    twin (fixtures/gen_bpe_twin.py), which replays the word-frequency
+    reduce, pair counting, argmax and greedy merge application with plain
+    dicts — value-hash strict on every (rank, lhs, rhs, n) row."""
+    from openie_spark.operators.bpe import learn_bpe_merges
+
+    d = load(spark, sf_dir, "documents")
+    return learn_bpe_merges(d, "text").orderBy("rank")
+
+
+def _bpe_merges_sql() -> str:
+    from openie_spark.fixtures.gen_bpe_twin import bpe_merges_path
+
+    return (
+        "SELECT rank, lhs, rhs, n "
+        f"FROM read_parquet('{bpe_merges_path(ORACLE_SF_DIR)}') ORDER BY rank"
+    )
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation run AS A STREAM (file source
     → append-mode parquet sink, Trigger.AvailableNow) — the second fully
@@ -3871,6 +3894,7 @@ QUERIES = {
     "chunk_dedup": q_chunk_dedup,
     "kmeans": q_kmeans,
     "stream_counts": q_stream_counts,
+    "bpe_merges": q_bpe_merges,
 }
 
 ORACLE_SQL = {
@@ -3972,4 +3996,5 @@ def build_oracle_sql() -> dict[str, str]:
     out["ann_topk_srp"] = _ann_srp_sql()
     out["ann_topk_ivf"] = _ann_ivf_sql()
     out["cosine_near_dup"] = _cosine_near_dup_sql()
+    out["bpe_merges"] = _bpe_merges_sql()
     return out
