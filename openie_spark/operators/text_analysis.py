@@ -280,6 +280,68 @@ def ngram_decontaminate(
     )
 
 
+RETRIEVAL_TOP_K = 10
+
+
+def ranked_retrieval(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = RETRIEVAL_TOP_K,
+) -> DataFrame:
+    """Multi-term ranked retrieval — the search-engine direction of the
+    TF-IDF pipeline (tfidf_top_terms ranks terms per doc; this ranks docs
+    per query): for each query (a bag of terms), score every matching
+    document by Σ tf·idf_micro over the query terms it contains and return
+    the top-k (score desc, doc id asc — total order).  idf_micro is the
+    integer-exact ``(n_docs · 1e6) div df`` rule shared with
+    tfidf_top_terms, so every score is engine-portable.  Emits
+    (query_id, doc_id, n_terms_matched, score_micros, doc_rank).
+
+    Scale shape: the query-term table is tiny at any corpus size →
+    BROADCAST onto the postings, so only (doc, term) rows matching some
+    query term survive into the per-(query, doc) shuffle; the df table is
+    vocabulary-bounded and broadcast; the final top-k window compiles to
+    WindowGroupLimit.  The corpus is scanned once."""
+    spark = df.sparkSession
+    qt = spark.createDataFrame(
+        [(qid, t) for qid, terms in sorted(queries.items()) for t in set(terms)],
+        "query_id string, term string",
+    )
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    terms = df.select(F.col(id_col).alias("id"), F.explode(w).alias("term"))
+    tf = terms.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_id", "id")
+        .agg(
+            F.count("*").alias("n_terms_matched"),
+            F.sum(F.expr("tf * ((n_docs * 1000000) div df)")).alias(
+                "score_micros"
+            ),
+        )
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.desc("score_micros"), F.asc("id")
+    )
+    return (
+        scored.withColumn("doc_rank", F.row_number().over(wnd))
+        .where(F.col("doc_rank") <= k)
+        .select(
+            "query_id",
+            F.col("id").alias(id_col),
+            "n_terms_matched",
+            "score_micros",
+            "doc_rank",
+        )
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3
 ) -> DataFrame:

@@ -3638,6 +3638,64 @@ ORDER BY d.doc_id
 """
 
 
+# Ranked-retrieval probe queries (one home: the oracle interpolates these).
+# 'shuffle' is deliberately absent from the corpus vocabulary — it pins the
+# missing-term path (inner-join semantics drop it from scoring).
+RETRIEVAL_QUERIES = {
+    "q_exec": ["join", "scan", "batch"],
+    "q_engine": ["spark", "shuffle"],
+    "q_storage": ["table", "row", "column"],
+}
+
+
+def q_term_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term ranked retrieval (text_analysis.ranked_retrieval) — the
+    search-engine direction of the TF-IDF pipeline: per query, top-k
+    documents by Σ tf·idf_micro with the integer-exact idf rule shared
+    with tfidf_top_terms.  Fully oracle-checked."""
+    from openie_spark.operators.text_analysis import ranked_retrieval
+
+    d = load(spark, sf_dir, "documents")
+    return ranked_retrieval(d, RETRIEVAL_QUERIES).orderBy("query_id", "doc_rank")
+
+
+def _term_retrieval_sql() -> str:
+    from openie_spark.operators.text_analysis import RETRIEVAL_TOP_K
+
+    vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(RETRIEVAL_QUERIES.items())
+        for t in sorted(set(terms))
+    )
+    return rf"""
+WITH qt(query_id, term) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+  FROM documents
+),
+tf AS (SELECT id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+sc AS (
+  SELECT q.query_id, t.id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(SUM(t.tf * ((n.n_docs * 1000000) // d.df)) AS BIGINT) AS score_micros
+  FROM tf t JOIN qt q USING (term) JOIN dfreq d USING (term), n
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_micros DESC, id ASC
+  ) AS doc_rank FROM sc
+)
+SELECT query_id, id AS doc_id, n_terms_matched, score_micros,
+       CAST(doc_rank AS INT) AS doc_rank
+FROM r WHERE doc_rank <= {RETRIEVAL_TOP_K}
+ORDER BY query_id, doc_rank
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-scale BPE merge learning (operators/bpe.py) — tokenizer
     TRAINING as a DataFrame program: the learned merge table over the
@@ -3895,6 +3953,7 @@ QUERIES = {
     "kmeans": q_kmeans,
     "stream_counts": q_stream_counts,
     "bpe_merges": q_bpe_merges,
+    "term_retrieval": q_term_retrieval,
 }
 
 ORACLE_SQL = {
@@ -3965,6 +4024,7 @@ ORACLE_SQL = {
     "chunk_dedup": _chunk_dedup_sql(),
     "kmeans": _kmeans_sql(),
     "stream_counts": _stream_counts_sql(),
+    "term_retrieval": _term_retrieval_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

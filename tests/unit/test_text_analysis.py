@@ -219,3 +219,46 @@ def test_cooc_deterministic_across_parallelism(spark):
         map(tuple, cooccurrence_lift(df.repartition(8), min_df=2, max_df=20).collect())
     )
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# ranked retrieval (ranked_retrieval)
+# ---------------------------------------------------------------------------
+
+
+def test_ranked_retrieval_hand_computed(spark):
+    from openie_spark.operators.text_analysis import ranked_retrieval
+
+    rows = [
+        (1, "spark spark join"),   # tf(spark)=2, tf(join)=1
+        (2, "join scan"),
+        (3, "scan scan scan"),
+        (4, "other words only"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        tuple(r)
+        for r in ranked_retrieval(df, {"q": ["spark", "join"]}, k=10)
+        .orderBy("doc_rank")
+        .collect()
+    ]
+    # n_docs=4; df(spark)=1 -> idf 4_000_000; df(join)=2 -> idf 2_000_000
+    # doc1: 2*4M + 1*2M = 10M, matched 2; doc2: 1*2M, matched 1
+    assert got == [
+        ("q", 1, 2, 10_000_000, 1),
+        ("q", 2, 1, 2_000_000, 2),
+    ]
+
+
+def test_ranked_retrieval_missing_term_and_ties(spark):
+    from openie_spark.operators.text_analysis import ranked_retrieval
+
+    rows = [(1, "a b"), (2, "a b"), (3, "c")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = [
+        tuple(r)
+        for r in ranked_retrieval(df, {"q": ["a", "nosuchterm"]}, k=1)
+        .collect()
+    ]
+    # equal scores -> tie broken toward the smaller doc_id; k=1 keeps doc 1
+    assert got == [("q", 1, 1, 1_500_000, 1)]
