@@ -66,8 +66,10 @@ def _merge_seq(s: list[str], a: str, b: str) -> list[str]:
     return out
 
 
-def bpe_merge_rows(sf_dir: str, merges: int = BPE_MERGES) -> list[dict]:
-    freq = _word_freq(sf_dir)
+def merges_from_freq(freq: dict[str, int], merges: int = BPE_MERGES) -> list[dict]:
+    """The merge-learning core over a word-frequency table — exposed so the
+    fuzz gate (tests/unit/test_bpe.py) can replay arbitrary corpora without
+    a parquet round-trip."""
     syms: list[tuple[list[str], int]] = [
         (list(w) + [BPE_EOW], n) for w, n in freq.items()
     ]
@@ -84,6 +86,10 @@ def bpe_merge_rows(sf_dir: str, merges: int = BPE_MERGES) -> list[dict]:
         rows.append({"rank": rank, "lhs": a, "rhs": b, "n": cnt})
         syms = [(_merge_seq(s, a, b), n) for s, n in syms]
     return rows
+
+
+def bpe_merge_rows(sf_dir: str, merges: int = BPE_MERGES) -> list[dict]:
+    return merges_from_freq(_word_freq(sf_dir), merges)
 
 
 def bpe_merges_path(sf_dir: str) -> str:

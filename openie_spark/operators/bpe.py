@@ -83,8 +83,12 @@ def learn_bpe_merges(
     syms = cut_lineage(syms, eager=True)
     rules: list[tuple[int, str, str, int]] = []
     for rank in range(1, merges + 1):
+        # single-symbol rows (fully merged words) contribute no pairs AND
+        # would make sequence(1, size-1) = sequence(1, 0), which Spark
+        # generates DESCENDING — element_at(s, 2) then trips ANSI's
+        # out-of-bounds on a 1-element array (caught by the fuzz gate)
         pair_idx = F.sequence(F.lit(1), F.size("s") - 1)
-        pairs = syms.select(
+        pairs = syms.where(F.size("s") >= 2).select(
             "n",
             F.explode(
                 F.transform(

@@ -77,3 +77,33 @@ def test_deterministic_across_parallelism(spark):
     a = [tuple(r) for r in learn_bpe_merges(df.repartition(1), merges=5).collect()]
     b = [tuple(r) for r in learn_bpe_merges(df.repartition(4), merges=5).collect()]
     assert a == b and len(a) == 5
+
+
+def test_fuzz_spark_learner_matches_twin(spark):
+    """L4b-style fuzz gate: seeded random corpora over a tiny alphabet
+    (forcing dense merge interactions — runs of repeated chars, shared
+    prefixes) must produce bit-identical merge tables from the Spark
+    learner and the pure-Python twin core."""
+    import random
+    import re
+
+    from openie_spark.fixtures.gen_bpe_twin import merges_from_freq
+
+    for seed in (7, 23, 101):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("aab") for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(20, 40))
+        ]
+        text = " ".join(words)
+        freq: dict[str, int] = {}
+        for tok in re.split(r"\s+", text.lower(), flags=re.ASCII):
+            if tok:
+                freq[tok] = freq.get(tok, 0) + 1
+        want = [
+            (r["rank"], r["lhs"], r["rhs"], r["n"])
+            for r in merges_from_freq(freq, merges=6)
+        ]
+        df = spark.createDataFrame([(text,)], "text string")
+        got = [tuple(r) for r in learn_bpe_merges(df, merges=6).collect()]
+        assert got == want, f"seed {seed}: {got} != {want}"

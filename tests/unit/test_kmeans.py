@@ -117,3 +117,20 @@ def test_too_few_rows_raises(spark):
     )
     with pytest.raises(ValueError, match="needs >= 3"):
         kmeans_int8(df, k=3, iters=1)
+
+
+def test_fuzz_spark_matches_twin(spark):
+    """Seeded random dyadic-float corpora (x*1000 exactly integral) must
+    produce bit-identical assignments from the Spark operator and the
+    pure-Python twin across k and iteration counts."""
+    import random
+
+    for seed, k, iters in ((5, 2, 2), (17, 3, 3), (99, 4, 1)):
+        rng = random.Random(seed)
+        rows = [
+            (i, [rng.randint(-8, 8) / 8.0 for _ in range(4)])
+            for i in range(rng.randint(k + 2, 25))
+        ]
+        df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+        got = _collect(kmeans_int8(df, k=k, iters=iters))
+        assert got == _reference(rows, k, iters), f"seed {seed}"
