@@ -3864,6 +3864,24 @@ SELECT vec_id, cluster, dist FROM a{KMEANS_ITERS} ORDER BY vec_id
     return body
 
 
+def q_kg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG-completion evaluation (operators/kg_eval.py): filtered
+    Hits@{1,3,10} / MRR for tail prediction over the deterministic star
+    KG, with the relation-tail-popularity scorer — the protocol
+    machinery (hash-sampled test split, vocabulary-bounded rank table,
+    out-degree-bounded filtered correction) is scorer-agnostic and
+    exact-integer throughout, so every metric is hash-comparable."""
+    from openie_spark.operators.kg_eval import kg_completion_eval
+
+    return kg_completion_eval(star_kg_edges(spark, sf_dir)).orderBy("pred")
+
+
+def _kg_eval_sql() -> str:
+    from openie_spark.operators.kg_eval import kg_completion_eval_sql
+
+    return kg_completion_eval_sql(STAR_KG_EDGES_SQL)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3954,6 +3972,7 @@ QUERIES = {
     "stream_counts": q_stream_counts,
     "bpe_merges": q_bpe_merges,
     "term_retrieval": q_term_retrieval,
+    "kg_eval": q_kg_eval,
 }
 
 ORACLE_SQL = {
@@ -4025,6 +4044,7 @@ ORACLE_SQL = {
     "kmeans": _kmeans_sql(),
     "stream_counts": _stream_counts_sql(),
     "term_retrieval": _term_retrieval_sql(),
+    "kg_eval": _kg_eval_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
