@@ -47,37 +47,46 @@ def bucketed_prefix_sum(
     bucket_width: int,
     tiebreak_cols: list[str] | None = None,
     out_col: str = "cum",
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inclusive prefix sum of `value_col` over the total order
     (key_col, *tiebreak_cols).  Caller contract: `key_col` is numeric
     and non-negative — integral `div` truncates toward zero, so the
     bucket map is only order-preserving for keys >= 0.  Adds `out_col`,
-    preserves input columns."""
+    preserves input columns.
+
+    With ``group_cols`` the scan restarts per group (the cumulative sum
+    is independent within each group, same total order inside).  The
+    offsets table grows to #groups × #buckets rows and its window
+    partitions by group, so it stays broadcastable as long as that
+    product is bounded (callers with huge group vocabularies should
+    widen ``bucket_width``)."""
     reserved = {"_bkt", "_local_cum", "_btotal", "_offset"} & set(df.columns)
     if reserved:
         raise ValueError(
             f"bucketed_prefix_sum: reserved internal columns in input: {sorted(reserved)}"
         )
     ties = tiebreak_cols or []
+    groups = group_cols or []
     order = [F.col(key_col).asc()] + [F.col(c).asc() for c in ties]
 
     b = df.withColumn("_bkt", F.expr(f"CAST({key_col} AS BIGINT) div {bucket_width}"))
-    local_w = Window.partitionBy("_bkt").orderBy(*order).rowsBetween(
+    local_w = Window.partitionBy(*groups, "_bkt").orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = b.withColumn("_local_cum", F.sum(value_col).over(local_w))
 
-    totals = local.groupBy("_bkt").agg(F.sum(value_col).alias("_btotal"))
-    off_w = Window.orderBy("_bkt").rowsBetween(
+    totals = local.groupBy(*groups, "_bkt").agg(F.sum(value_col).alias("_btotal"))
+    off_w = Window.partitionBy(*groups).orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1
     )
-    # #buckets rows — the single-partition window here is the tiny side
+    # #groups × #buckets rows — the windowed side here is the tiny side
     offsets = totals.withColumn(
         "_offset", F.coalesce(F.sum("_btotal").over(off_w), F.lit(0))
-    ).select("_bkt", "_offset")
+    ).select(*groups, "_bkt", "_offset")
 
     return (
-        local.join(F.broadcast(offsets), "_bkt")
+        local.join(F.broadcast(offsets), [*groups, "_bkt"])
         .withColumn(out_col, (F.col("_local_cum") + F.col("_offset")).cast("long"))
         .drop("_bkt", "_local_cum", "_offset")
     )

@@ -3864,6 +3864,24 @@ SELECT vec_id, cluster, dist FROM a{KMEANS_ITERS} ORDER BY vec_id
     return body
 
 
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted training-mix manifest (operators/mixing.py): the
+    execution half of domain_mix — Hamilton-apportion a global token
+    budget (total div 3) across sources, then greedily fill each quota
+    over the deterministic hash order via the grouped two-phase prefix
+    sum (one corpus shuffle, no single-partition window)."""
+    from openie_spark.operators.mixing import token_budget_mix_summary
+
+    d = load(spark, sf_dir, "documents")
+    return token_budget_mix_summary(d).orderBy("source")
+
+
+def _token_budget_mix_sql() -> str:
+    from openie_spark.operators.mixing import token_budget_mix_sql
+
+    return token_budget_mix_sql()
+
+
 def q_kg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KG-completion evaluation (operators/kg_eval.py): filtered
     Hits@{1,3,10} / MRR for tail prediction over the deterministic star
@@ -3973,6 +3991,7 @@ QUERIES = {
     "bpe_merges": q_bpe_merges,
     "term_retrieval": q_term_retrieval,
     "kg_eval": q_kg_eval,
+    "token_budget_mix": q_token_budget_mix,
 }
 
 ORACLE_SQL = {
@@ -4045,6 +4064,7 @@ ORACLE_SQL = {
     "stream_counts": _stream_counts_sql(),
     "term_retrieval": _term_retrieval_sql(),
     "kg_eval": _kg_eval_sql(),
+    "token_budget_mix": _token_budget_mix_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
