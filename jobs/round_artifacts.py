@@ -149,8 +149,24 @@ def main() -> int:
             print(out.stdout[-2000:], out.stderr[-2000:], file=sys.stderr)
             return 1
         bench = {"_probe_pre": p, **json.loads(line)}
-        (out_dir / "BENCH_local.json").write_text(json.dumps(bench, indent=2))
+        # The pre-run probe gates ENTRY, but a shared host can degrade
+        # MID-run (seen late r4: pre-probe 16.4 GB/s warm-copy, post-run
+        # 3.7 — memory-bound lines inflated 2x).  bench.py re-probes
+        # after the run and stamps probe_after_ok; a record cut in a
+        # window that went bad is not a record — park it as a candidate
+        # instead of overwriting BENCH_local.json.
+        degraded_after = bench.get("probe_after_ok") is False
+        target = "BENCH_candidate.json" if degraded_after and not args.force else "BENCH_local.json"
+        (out_dir / target).write_text(json.dumps(bench, indent=2))
         print("bench:", line, flush=True)
+        if target != "BENCH_local.json":
+            print(
+                "host degraded mid-bench (probe_after_ok=false): wrote "
+                f"{target}; BENCH_local.json left untouched — re-run "
+                "`python jobs/round_artifacts.py --bench-only` (or "
+                "bench_watcher) in a green window",
+                flush=True,
+            )
 
     return 2 if fails else 0
 
