@@ -3900,6 +3900,96 @@ def _kg_eval_sql() -> str:
     return kg_completion_eval_sql(STAR_KG_EDGES_SQL)
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (operators/funnel.py): strict
+    event-order step qualification via stacked running-min windows —
+    ONE user_id shuffle, both Window operators reuse the same sort, and
+    the result is step-vocabulary-bounded (3 rows).  Exact microsecond
+    gap sums, OP-70/72 window family."""
+    from openie_spark.operators.funnel import funnel_summary
+
+    return funnel_summary(load(spark, sf_dir, "events"))
+
+
+def _funnel_sql() -> str:
+    from openie_spark.operators.funnel import funnel_sql
+
+    return funnel_sql()
+
+
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.py): Monday-week cohorts
+    over the distinct (user, week) grid, exact-ppm retention via the
+    shared intdiv twin; cohort sizes broadcast back onto the grid."""
+    from openie_spark.operators.funnel import cohort_retention
+
+    return cohort_retention(load(spark, sf_dir, "events"))
+
+
+def _cohort_retention_sql() -> str:
+    from openie_spark.operators.funnel import cohort_retention_sql
+
+    return cohort_retention_sql()
+
+
+# Exact-decile histogram binning: boundaries come from percentile_disc
+# (a distributed aggregate), docs bin by comparing against the broadcast
+# 9-value boundary row — deliberately NOT a global NTILE window, which
+# would funnel the corpus through one partition at 100 TB.  Strict
+# `boundary < n_chars` comparison makes tie placement value-determined
+# (order-free) and identical across engines.
+QUALITY_BINS_N = 10
+
+
+def _quality_bin_exprs() -> tuple[list[str], str]:
+    """(boundary-select expr list, bin expr) shared by Spark and DuckDB."""
+    bnds = [
+        f"CAST(percentile_disc({k / QUALITY_BINS_N:.2f}) WITHIN GROUP"
+        f" (ORDER BY n_chars) AS BIGINT) AS b{k}"
+        for k in range(1, QUALITY_BINS_N)
+    ]
+    bin_expr = "CAST(1 + " + " + ".join(
+        f"(CASE WHEN b{k} < n_chars THEN 1 ELSE 0 END)"
+        for k in range(1, QUALITY_BINS_N)
+    ) + " AS BIGINT)"
+    return bnds, bin_expr
+
+
+def q_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile-binned document-length histogram: exact percentile_disc
+    boundaries + broadcast comparison binning (scale-safe NTILE stand-in;
+    OP-60/80 family).  Shared expression builder keeps the DuckDB twin
+    in lockstep."""
+    bnds, bin_expr = _quality_bin_exprs()
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    b = d.selectExpr(*bnds)
+    return (
+        d.crossJoin(F.broadcast(b))
+        .selectExpr(f"{bin_expr} AS bin", "n_chars")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("bin")
+    )
+
+
+def _quality_bins_sql() -> str:
+    bnds, bin_expr = _quality_bin_exprs()
+    return f"""
+WITH b AS (SELECT {", ".join(bnds)} FROM documents),
+binned AS (
+  SELECT {bin_expr} AS bin, n_chars FROM documents CROSS JOIN b
+)
+SELECT bin, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+FROM binned GROUP BY bin ORDER BY bin
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -3992,6 +4082,9 @@ QUERIES = {
     "term_retrieval": q_term_retrieval,
     "kg_eval": q_kg_eval,
     "token_budget_mix": q_token_budget_mix,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
+    "quality_bins": q_quality_bins,
 }
 
 ORACLE_SQL = {
@@ -4065,6 +4158,9 @@ ORACLE_SQL = {
     "term_retrieval": _term_retrieval_sql(),
     "kg_eval": _kg_eval_sql(),
     "token_budget_mix": _token_budget_mix_sql(),
+    "funnel": _funnel_sql(),
+    "cohort_retention": _cohort_retention_sql(),
+    "quality_bins": _quality_bins_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
