@@ -277,6 +277,21 @@ def main() -> int:
         "kg_walks",
         lambda: force(registry.q_kg_walks(spark, sf_dir)),
     )
+    # final-r4 additions: windowed funnel (one user_id exchange shared by
+    # both running-min windows), cohort grid, decile binning (broadcast
+    # percentile boundaries).
+    timed(
+        "funnel",
+        lambda: force(registry.q_funnel(spark, sf_dir)),
+    )
+    timed(
+        "cohort_retention",
+        lambda: force(registry.q_cohort_retention(spark, sf_dir)),
+    )
+    timed(
+        "quality_bins",
+        lambda: force(registry.q_quality_bins(spark, sf_dir)),
+    )
 
     # Post-run probe: a window can degrade MID-run (BENCH r4: probe-ok at
     # start, warm-touch collapsed during the suite and inflated the
