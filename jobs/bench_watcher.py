@@ -32,6 +32,9 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO / "jobs"))
+
+from round_artifacts import MIN_WARM_TOUCH_MB_S  # one home for the floor
 
 
 def probe() -> dict:
@@ -49,7 +52,7 @@ def main() -> int:
     ap.add_argument("--interval", type=float, default=300.0)
     ap.add_argument("--budget-s", type=float, default=7200.0)
     ap.add_argument("--min-gbps", type=float, default=14.0)
-    ap.add_argument("--min-warm-touch", type=float, default=1000.0)
+    ap.add_argument("--min-warm-touch", type=float, default=MIN_WARM_TOUCH_MB_S)
     ap.add_argument("--outdir", default="/tmp/bench_candidates")
     args = ap.parse_args()
 

@@ -33,6 +33,14 @@ sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "jobs"))
 
 SF_DIR = "/root/testdata/sf0.01"
+
+# In-run warm-touch floor for PROMOTING a bench record (MB/s).  The
+# endpoint probes can both pass while the window collapses mid-run (seen
+# twice late r4: pre/post probes green, in-run warm_touch 205-1039 MB/s
+# apart, memory-bound lines inflated 1.3-3x) — bench.py's own mid-run
+# warm-touch is the only stamp that sees it.  Same floor as
+# bench_watcher's --min-warm-touch default (it imports this constant).
+MIN_WARM_TOUCH_MB_S = 1000.0
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -156,12 +164,19 @@ def main() -> int:
         # window that went bad is not a record — park it as a candidate
         # instead of overwriting BENCH_local.json.
         degraded_after = bench.get("probe_after_ok") is False
-        target = "BENCH_candidate.json" if degraded_after and not args.force else "BENCH_local.json"
+        degraded_mid = bench.get("warm_touch_mb_s", 0.0) < MIN_WARM_TOUCH_MB_S
+        degraded = degraded_after or degraded_mid
+        target = "BENCH_candidate.json" if degraded and not args.force else "BENCH_local.json"
         (out_dir / target).write_text(json.dumps(bench, indent=2))
         print("bench:", line, flush=True)
         if target != "BENCH_local.json":
+            why = (
+                "probe_after_ok=false"
+                if degraded_after
+                else f"in-run warm_touch {bench.get('warm_touch_mb_s')} < {MIN_WARM_TOUCH_MB_S} MB/s"
+            )
             print(
-                "host degraded mid-bench (probe_after_ok=false): wrote "
+                f"host degraded mid-bench ({why}): wrote "
                 f"{target}; BENCH_local.json left untouched — re-run "
                 "`python jobs/round_artifacts.py --bench-only` (or "
                 "bench_watcher) in a green window",
