@@ -3990,6 +3990,58 @@ FROM binned GROUP BY bin ORDER BY bin
 """
 
 
+def q_session_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition mining between event types within sessions
+    (operators/activity.py): the session window and the lead window share
+    one (user_id x order) spec — ONE Exchange feeds both Window operators
+    — and the pair aggregate is |type-vocab|^2-bounded.  Exact-ppm
+    probabilities via the shared intdiv twin.  OP-70/72 family."""
+    from openie_spark.operators.activity import session_transitions
+
+    return session_transitions(load(spark, sf_dir, "events"))
+
+
+def _session_transitions_sql() -> str:
+    from openie_spark.operators.activity import session_transitions_sql
+
+    return session_transitions_sql()
+
+
+def q_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users + event volume per day
+    (operators/activity.py): the sliding window realizes as a bounded
+    explode (factor 7) + partial/final agg on the calendar-bounded day
+    key — NOT a range self-join (BNLJ) and NOT a per-user global window;
+    Spark has no native windowed COUNT DISTINCT, this is the scale-safe
+    spelling.  OP-60 family."""
+    from openie_spark.operators.activity import rolling_actives
+
+    return rolling_actives(load(spark, sf_dir, "events"))
+
+
+def _rolling_distinct_sql() -> str:
+    from openie_spark.operators.activity import rolling_actives_sql
+
+    return rolling_actives_sql()
+
+
+def q_burst_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly burst detection (operators/activity.py): trailing-24-slot
+    RANGE window over the hourly pre-aggregate (calendar-bounded, so the
+    one global-ordered window is safe at any corpus size); the burst rule
+    is the exact integer comparison n*12 > trailing_24h with a 12-slot
+    warm-up.  OP-70/72 family."""
+    from openie_spark.operators.activity import hourly_bursts
+
+    return hourly_bursts(load(spark, sf_dir, "events"))
+
+
+def _burst_hours_sql() -> str:
+    from openie_spark.operators.activity import hourly_bursts_sql
+
+    return hourly_bursts_sql()
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -4085,6 +4137,9 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "quality_bins": q_quality_bins,
+    "session_transitions": q_session_transitions,
+    "rolling_distinct": q_rolling_distinct,
+    "burst_hours": q_burst_hours,
 }
 
 ORACLE_SQL = {
@@ -4161,6 +4216,9 @@ ORACLE_SQL = {
     "funnel": _funnel_sql(),
     "cohort_retention": _cohort_retention_sql(),
     "quality_bins": _quality_bins_sql(),
+    "session_transitions": _session_transitions_sql(),
+    "rolling_distinct": _rolling_distinct_sql(),
+    "burst_hours": _burst_hours_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
