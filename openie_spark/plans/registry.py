@@ -3786,12 +3786,15 @@ def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_int8(e, "vec_id", "embedding").orderBy("vec_id")
 
 
-def _kmeans_sql() -> str:
-    """Unrolled Lloyd iterations: cent{t} → d{t} (distances) → a{t}
-    (assignment) → cent{t+1} (trunc-div means, empty clusters keep their
-    centroid via the NULL-CASE + COALESCE).  Quantization CTEs mirror
-    SQL_EMBEDDING_QUANTIZE; seeding mirrors kmeans_int8 (portable 60-bit
-    hash order, one home: functions/hashing.py)."""
+def _kmeans_cte_body() -> str:
+    """Unrolled Lloyd iterations as a WITH chain ending at the final
+    assignment CTE ``a{KMEANS_ITERS}`` (vec_id, cluster, dist) — with
+    ``qq`` (vec_id, qv) still in scope: cent{t} → d{t} (distances) →
+    a{t} (assignment) → cent{t+1} (trunc-div means, empty clusters keep
+    their centroid via the NULL-CASE + COALESCE).  Quantization CTEs
+    mirror SQL_EMBEDDING_QUANTIZE; seeding mirrors kmeans_int8 (portable
+    60-bit hash order, one home: functions/hashing.py).  Shared by the
+    ``kmeans`` and ``semantic_prune`` oracles."""
     from openie_spark.functions.hashing import portable_hash60_sql
     from openie_spark.operators.kmeans import (
         KMEANS_ITERS,
@@ -3858,10 +3861,80 @@ cent{it + 1} AS (
     FROM a{it} a JOIN vecs v USING (vec_id) GROUP BY 1, 2
   ) su ON su.cid = c.cid AND su.dim = c.dim
 )"""
-    body += f"""
+    return body
+
+
+def _kmeans_sql() -> str:
+    from openie_spark.operators.kmeans import KMEANS_ITERS
+
+    return (
+        _kmeans_cte_body()
+        + f"""
 SELECT vec_id, cluster, dist FROM a{KMEANS_ITERS} ORDER BY vec_id
 """
-    return body
+    )
+
+
+def q_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic pruning (operators/semdedup.py): the
+    oracle-checked integer k-means assignment + per-cluster quantized-
+    cosine near-dup detection + deterministic farthest-from-centroid
+    keeper rule.  The pair stage is an equi-join on cluster id (the
+    published per-cluster all-pairs recipe; K is the scale knob)."""
+    from openie_spark.operators.semdedup import semantic_prune
+
+    e = load(spark, sf_dir, "embeddings")
+    return semantic_prune(e, "vec_id", "embedding")
+
+
+def _semantic_prune_sql() -> str:
+    """Extends the shared k-means CTE chain with the near-dup pair frame
+    and the dominance aggregate (operators/semdedup.py docstring spells
+    the exact integer rules both engines implement)."""
+    from openie_spark.operators.kmeans import KMEANS_ITERS
+    from openie_spark.operators.semdedup import SEM_THRESH_DEN, SEM_THRESH_NUM
+    from openie_spark.operators.similarity import SRP_DIM
+
+    num2 = SEM_THRESH_NUM * SEM_THRESH_NUM
+    den2 = SEM_THRESH_DEN * SEM_THRESH_DEN
+    dot = (
+        f"list_sum(list_transform(range(1, {SRP_DIM} + 1),"
+        " i -> x.qv[i] * y.qv[i]))"
+    )
+    return (
+        _kmeans_cte_body()
+        + f""",
+qn AS (
+  SELECT vec_id, qv,
+         CAST(list_sum(list_transform(range(1, {SRP_DIM} + 1),
+              i -> qv[i] * qv[i])) AS BIGINT) AS norm2
+  FROM qq
+),
+m AS (
+  SELECT a.vec_id, a.cluster, a.dist, qn.qv, qn.norm2
+  FROM a{KMEANS_ITERS} a JOIN qn USING (vec_id)
+),
+dp AS (
+  SELECT x.vec_id, x.dist AS x_dist, y.dist AS y_dist, y.vec_id AS y_id,
+         CAST({dot} AS BIGINT) AS dot, x.norm2 AS xn2, y.norm2 AS yn2
+  FROM m x JOIN m y ON x.cluster = y.cluster AND x.vec_id != y.vec_id
+),
+pr AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN dot > 0 AND dot * dot * {den2} > {num2} * xn2 * yn2
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_neighbors,
+         CAST(MAX(CASE WHEN dot > 0 AND dot * dot * {den2} > {num2} * xn2 * yn2
+                        AND (y_dist > x_dist
+                             OR (y_dist = x_dist AND y_id < vec_id))
+                       THEN 1 ELSE 0 END) AS BIGINT) AS pruned
+  FROM dp GROUP BY vec_id
+)
+SELECT m.vec_id, m.cluster, m.dist,
+       COALESCE(pr.n_neighbors, 0) AS n_neighbors,
+       COALESCE(pr.pruned, 0) AS pruned
+FROM m LEFT JOIN pr USING (vec_id) ORDER BY m.vec_id
+"""
+    )
 
 
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4140,6 +4213,7 @@ QUERIES = {
     "session_transitions": q_session_transitions,
     "rolling_distinct": q_rolling_distinct,
     "burst_hours": q_burst_hours,
+    "semantic_prune": q_semantic_prune,
 }
 
 ORACLE_SQL = {
@@ -4219,6 +4293,7 @@ ORACLE_SQL = {
     "session_transitions": _session_transitions_sql(),
     "rolling_distinct": _rolling_distinct_sql(),
     "burst_hours": _burst_hours_sql(),
+    "semantic_prune": _semantic_prune_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
