@@ -63,3 +63,68 @@ def pagerank_mass(
         )
         ranks = cut_lineage(ranks)
     return ranks
+
+
+def ppr_mass(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = 5,
+    total_mass: int = 1_000_000,
+) -> DataFrame:
+    """Personalized PageRank (topic-sensitive PageRank, Haveliwala WWW
+    2002): identical integer-mass propagation to ``pagerank_mass``, but
+    the teleport/re-base mass lands ONLY on the ``seeds(id)`` set —
+    non-seeds start at 0 and receive exclusively propagated mass, so the
+    result ranks nodes by proximity to the seed set.
+
+    Same frozen arithmetic as the global variant: each iteration a node
+    sends ``(mass * 17) div (20 * outdeg)`` along every out-edge and
+    seeds re-base with ``total_mass * 15 // 100``; dangling mass leaks.
+    Plan shape per iteration mirrors pagerank_mass (equi-joins on the
+    node id + map-side-combinable sum + node-universe left join, lineage
+    cut per round); the seed flag joins in broadcast once up front."""
+    base = total_mass * 15 // 100
+    s = seeds.select(F.col("id")).distinct().withColumn("_sb1", F.lit(1))
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(F.broadcast(s), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_sb1").isNotNull(), F.lit(int(base)))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("sb"),
+        )
+    )
+    nodes = cut_lineage(nodes, eager=True)
+    outdeg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    ranks = nodes.select(
+        "id",
+        F.when(F.col("sb") > 0, F.lit(int(total_mass)))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("mass"),
+    )
+    for _ in range(iters):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(
+                outdeg.withColumnRenamed("id", "_oid"), F.col("src") == F.col("_oid")
+            )
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("(mass * 17) div (20 * d)").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = nodes.join(contrib, "id", "left").select(
+            "id",
+            (F.col("sb") + F.coalesce("in_mass", F.lit(0))).cast("long").alias(
+                "mass"
+            ),
+        )
+        ranks = cut_lineage(ranks)
+    return ranks

@@ -4115,6 +4115,70 @@ def _burst_hours_sql() -> str:
     return hourly_bursts_sql()
 
 
+PPR_ITERS = 5
+PPR_SEED_MOD = 50  # seeds = node ids divisible by this (deterministic)
+PPR_TOTAL_MASS = 1_000_000
+
+
+def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (operators/pagerank.py:ppr_mass) over the
+    directed fixture graph: teleport mass lands only on the deterministic
+    seed set (id % PPR_SEED_MOD == 0), ranking nodes by seed proximity.
+    Exact integer mass; the DuckDB oracle unrolls the fixed iteration
+    count as chained CTEs (the kmeans pattern — LEFT JOIN keeps zero-
+    in-degree nodes alive, which the recursive pagerank oracle's
+    aggregate-in-step formulation cannot)."""
+    from openie_spark.fixtures.gen_graphs import digraph
+    from openie_spark.operators.pagerank import ppr_mass
+
+    e = spark.createDataFrame(digraph(), "src bigint, dst bigint")
+    nodes = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    )
+    seeds = nodes.where(F.col("id") % PPR_SEED_MOD == 0).distinct()
+    return ppr_mass(e, seeds, iters=PPR_ITERS, total_mass=PPR_TOTAL_MASS).orderBy(
+        "id"
+    )
+
+
+def _ppr_sql() -> str:
+    """Unrolled integer-mass propagation: c{t} (contributions) → m{t}
+    (re-based masses via node-universe LEFT JOIN).  Same frozen damping
+    arithmetic as _pagerank_sql (17/20 send, 15% re-base, floor-exact
+    ``//`` == Spark ``div`` on the non-negative masses)."""
+    from openie_spark.fixtures.gen_graphs import digraph_sql
+
+    base = PPR_TOTAL_MASS * 15 // 100
+    sb = f"CASE WHEN n.id % {PPR_SEED_MOD} = 0 THEN {base} ELSE 0 END"
+    body = f"""
+WITH e AS ({digraph_sql()}),
+nodes AS (
+  SELECT DISTINCT id FROM (
+    SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
+  )
+),
+outdeg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
+m0 AS (
+  SELECT id, CAST(CASE WHEN id % {PPR_SEED_MOD} = 0 THEN {PPR_TOTAL_MASS}
+                       ELSE 0 END AS BIGINT) AS mass
+  FROM nodes
+)"""
+    for it in range(1, PPR_ITERS + 1):
+        body += f""",
+c{it} AS (
+  SELECT e.dst AS id, SUM((m.mass * 17) // (20 * o.d)) AS im
+  FROM m{it - 1} m JOIN e ON e.src = m.id JOIN outdeg o ON o.id = m.id
+  GROUP BY e.dst
+),
+m{it} AS (
+  SELECT n.id, CAST({sb} + COALESCE(c.im, 0) AS BIGINT) AS mass
+  FROM nodes n LEFT JOIN c{it} c ON c.id = n.id
+)"""
+    return body + f"""
+SELECT id, mass FROM m{PPR_ITERS} ORDER BY id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -4214,6 +4278,7 @@ QUERIES = {
     "rolling_distinct": q_rolling_distinct,
     "burst_hours": q_burst_hours,
     "semantic_prune": q_semantic_prune,
+    "ppr": q_ppr,
 }
 
 ORACLE_SQL = {
@@ -4294,6 +4359,7 @@ ORACLE_SQL = {
     "rolling_distinct": _rolling_distinct_sql(),
     "burst_hours": _burst_hours_sql(),
     "semantic_prune": _semantic_prune_sql(),
+    "ppr": _ppr_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
