@@ -4141,29 +4141,32 @@ def q_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ppr_sql() -> str:
-    """Unrolled integer-mass propagation: c{t} (contributions) → m{t}
-    (re-based masses via node-universe LEFT JOIN).  Same frozen damping
+def _unrolled_mass_cte(edges_sql: str, seed_pred: str | None, iters: int, total: int) -> str:
+    """WITH chain for unrolled integer-mass propagation ending at
+    ``m{iters}`` (id, mass): c{t} (contributions) → m{t} (re-based
+    masses via node-universe LEFT JOIN, so zero-in-degree nodes stay
+    alive — which the recursive pagerank oracle's aggregate-in-step
+    formulation cannot do on directed graphs).  Same frozen damping
     arithmetic as _pagerank_sql (17/20 send, 15% re-base, floor-exact
-    ``//`` == Spark ``div`` on the non-negative masses)."""
-    from openie_spark.fixtures.gen_graphs import digraph_sql
-
-    base = PPR_TOTAL_MASS * 15 // 100
-    sb = f"CASE WHEN n.id % {PPR_SEED_MOD} = 0 THEN {base} ELSE 0 END"
+    ``//`` == Spark ``div`` on the non-negative masses).  ``seed_pred``
+    (over column ``id``) restricts teleport mass to the seed set
+    (personalized variant); None = every node (global variant).  Shared
+    by the ``ppr`` and ``entity_salience`` oracles."""
+    base = total * 15 // 100
+    sb = f"CASE WHEN {seed_pred} THEN {base} ELSE 0 END" if seed_pred else str(base)
+    m0 = (
+        f"CASE WHEN {seed_pred} THEN {total} ELSE 0 END" if seed_pred else str(total)
+    )
     body = f"""
-WITH e AS ({digraph_sql()}),
+WITH e AS ({edges_sql}),
 nodes AS (
   SELECT DISTINCT id FROM (
     SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e
   )
 ),
 outdeg AS (SELECT src AS id, COUNT(*) AS d FROM e GROUP BY src),
-m0 AS (
-  SELECT id, CAST(CASE WHEN id % {PPR_SEED_MOD} = 0 THEN {PPR_TOTAL_MASS}
-                       ELSE 0 END AS BIGINT) AS mass
-  FROM nodes
-)"""
-    for it in range(1, PPR_ITERS + 1):
+m0 AS (SELECT id, CAST({m0} AS BIGINT) AS mass FROM nodes)"""
+    for it in range(1, iters + 1):
         body += f""",
 c{it} AS (
   SELECT e.dst AS id, SUM((m.mass * 17) // (20 * o.d)) AS im
@@ -4171,12 +4174,71 @@ c{it} AS (
   GROUP BY e.dst
 ),
 m{it} AS (
-  SELECT n.id, CAST({sb} + COALESCE(c.im, 0) AS BIGINT) AS mass
-  FROM nodes n LEFT JOIN c{it} c ON c.id = n.id
+  SELECT id, CAST({sb} + COALESCE(c.im, 0) AS BIGINT) AS mass
+  FROM nodes LEFT JOIN c{it} c USING (id)
 )"""
-    return body + f"""
+    return body
+
+
+def _ppr_sql() -> str:
+    from openie_spark.fixtures.gen_graphs import digraph_sql
+
+    return (
+        _unrolled_mass_cte(
+            digraph_sql(), f"id % {PPR_SEED_MOD} = 0", PPR_ITERS, PPR_TOTAL_MASS
+        )
+        + f"""
 SELECT id, mass FROM m{PPR_ITERS} ORDER BY id
 """
+    )
+
+
+SALIENCE_ITERS = 5
+SALIENCE_TOP = 100
+
+
+def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity salience: exact-integer PageRank (operators/pagerank.py)
+    over the REAL deterministic star KG (star_kg_edges — the same edge
+    set relation_cardinality/rule_support/kg_eval profile), top-100 by
+    (mass DESC, id ASC) with the entity type decoded from the namespace
+    code.  The 'which entities matter' ranking a KG pipeline feeds to
+    entity linking and curation; oracle = the shared unrolled-mass CTE
+    chain over STAR_KG_EDGES_SQL."""
+    from openie_spark.operators.pagerank import pagerank_mass
+
+    e = star_kg_edges(spark, sf_dir).select(
+        F.col("head").alias("src"), F.col("tail").alias("dst")
+    )
+    type_case = "CASE " + " ".join(
+        f"WHEN id % 8 = {code} THEN '{name}'"
+        for name, code in sorted(ENTITY_TYPE_CODES.items(), key=lambda kv: kv[1])
+    ) + " END"
+    return (
+        pagerank_mass(e, iters=SALIENCE_ITERS)
+        .orderBy(F.desc("mass"), "id")
+        .limit(SALIENCE_TOP)
+        .selectExpr("id", f"{type_case} AS entity_type", "mass")
+    )
+
+
+def _entity_salience_sql() -> str:
+    type_case = "CASE " + " ".join(
+        f"WHEN id % 8 = {code} THEN '{name}'"
+        for name, code in sorted(ENTITY_TYPE_CODES.items(), key=lambda kv: kv[1])
+    ) + " END"
+    return (
+        _unrolled_mass_cte(
+            f"SELECT head AS src, tail AS dst FROM ({STAR_KG_EDGES_SQL})",
+            None,
+            SALIENCE_ITERS,
+            1_000_000,
+        )
+        + f"""
+SELECT id, {type_case} AS entity_type, mass
+FROM m{SALIENCE_ITERS} ORDER BY mass DESC, id LIMIT {SALIENCE_TOP}
+"""
+    )
 
 
 QUERIES = {
@@ -4279,6 +4341,7 @@ QUERIES = {
     "burst_hours": q_burst_hours,
     "semantic_prune": q_semantic_prune,
     "ppr": q_ppr,
+    "entity_salience": q_entity_salience,
 }
 
 ORACLE_SQL = {
@@ -4360,6 +4423,7 @@ ORACLE_SQL = {
     "burst_hours": _burst_hours_sql(),
     "semantic_prune": _semantic_prune_sql(),
     "ppr": _ppr_sql(),
+    "entity_salience": _entity_salience_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
