@@ -292,6 +292,17 @@ def main() -> int:
         "quality_bins",
         lambda: force(registry.q_quality_bins(spark, sf_dir)),
     )
+    # 100-query-surface additions: SemDeDup pruning (integer k-means +
+    # per-cluster quantized-cosine pair stage) and entity salience
+    # (5-round integer PageRank over the ~2M-edge star KG).
+    timed(
+        "semantic_prune",
+        lambda: force(registry.q_semantic_prune(spark, sf_dir)),
+    )
+    timed(
+        "entity_salience",
+        lambda: force(registry.q_entity_salience(spark, sf_dir)),
+    )
 
     # Post-run probe: a window can degrade MID-run (BENCH r4: probe-ok at
     # start, warm-touch collapsed during the suite and inflated the

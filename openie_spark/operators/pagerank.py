@@ -11,9 +11,11 @@ Spark's ``div`` and DuckDB's ``//``) and every node is re-based with
 ``total_mass * 15 // 100`` units.  Dangling mass (floor losses + sinks) is
 deliberately dropped — frozen as part of the spec, mirrored by the oracle.
 
-Plan shape per iteration: edges ⋈ ranks ⋈ outdeg (all equi-joins on the
-node id) → groupBy(dst) sum (map-side combinable) → left join back to the
-node universe.  Lineage is cut per round exactly like the CC loop —
+Plan shape: the loop-invariant (edge, out-degree) frame materializes
+ONCE, hash-clustered on src (_weighted_edges); per iteration that frame
+⋈ ranks (one ranks-side shuffle onto the reused clustering) → groupBy(dst)
+sum (map-side combinable) → left join back to the node universe.
+Lineage is cut per round exactly like the CC loop —
 without it plan analysis doubles per iteration.  At the 10^12-edge posture
 every step is shuffle-on-id; no driver-side state beyond the loop counter.
 """
@@ -24,6 +26,25 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openie_spark.functions.lineage import cut_lineage
+
+
+def _weighted_edges(edges: DataFrame) -> DataFrame:
+    """(src, dst, d): every edge annotated with its source's out-degree,
+    materialized ONCE and hash-clustered on src.  The out-degree is
+    loop-invariant, so joining it inside the iteration (the naive shape)
+    re-runs a full edge aggregation + join every round; hoisting it
+    leaves each round exactly one ranks-side shuffle onto the reused src
+    clustering plus the groupBy(dst) contribution exchange — the two
+    shuffles inherent to mass propagation."""
+    outdeg = edges.groupBy(F.col("src").alias("_oid")).agg(
+        F.count("*").alias("d")
+    )
+    return cut_lineage(
+        edges.join(outdeg, edges.src == outdeg._oid)
+        .select("src", "dst", "d")
+        .repartition("src"),
+        eager=True,
+    )
 
 
 def pagerank_mass(
@@ -40,14 +61,11 @@ def pagerank_mass(
         .distinct()
     )
     nodes = cut_lineage(nodes, eager=True)
-    outdeg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count("*").alias("d")
-    )
+    e_w = _weighted_edges(edges)
     ranks = nodes.withColumn("mass", F.lit(int(total_mass)).cast("long"))
     for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(outdeg.withColumnRenamed("id", "_oid"), F.col("src") == F.col("_oid"))
+            e_w.join(ranks, e_w.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("(mass * 17) div (20 * d)").alias("c"),
@@ -99,7 +117,7 @@ def ppr_mass(
         )
     )
     nodes = cut_lineage(nodes, eager=True)
-    outdeg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    e_w = _weighted_edges(edges)
     ranks = nodes.select(
         "id",
         F.when(F.col("sb") > 0, F.lit(int(total_mass)))
@@ -109,10 +127,7 @@ def ppr_mass(
     )
     for _ in range(iters):
         contrib = (
-            edges.join(ranks, edges.src == ranks.id)
-            .join(
-                outdeg.withColumnRenamed("id", "_oid"), F.col("src") == F.col("_oid")
-            )
+            e_w.join(ranks, e_w.src == ranks.id)
             .select(
                 F.col("dst").alias("id"),
                 F.expr("(mass * 17) div (20 * d)").alias("c"),
