@@ -111,10 +111,13 @@ def main() -> int:
 
     p = probe()
     print("host probe:", json.dumps(p), flush=True)
-    if not p["ok"] and not args.force:
+    # The probe gate protects TIMINGS; the correctness sweep is a value
+    # compare and is valid in any window, so --skip-bench runs regardless.
+    if not p["ok"] and not (args.force or args.skip_bench):
         print(
-            "REFUSING to record artifacts in a degraded-host window "
-            "(CLAUDE.md rule). Warm up / wait and re-run, or pass --force.",
+            "REFUSING to record bench timings in a degraded-host window "
+            "(CLAUDE.md rule). Warm up / wait and re-run, pass --force, or "
+            "use --skip-bench for the window-independent correctness sweep.",
             file=sys.stderr,
         )
         return 1
