@@ -35,12 +35,20 @@ sys.path.insert(0, str(REPO / "jobs"))
 SF_DIR = "/root/testdata/sf0.01"
 
 # In-run warm-touch floor for PROMOTING a bench record (MB/s).  The
-# endpoint probes can both pass while the window collapses mid-run (seen
-# twice late r4: pre/post probes green, in-run warm_touch 205-1039 MB/s
-# apart, memory-bound lines inflated 1.3-3x) — bench.py's own mid-run
-# warm-touch is the only stamp that sees it.  Same floor as
-# bench_watcher's --min-warm-touch default (it imports this constant).
-MIN_WARM_TOUCH_MB_S = 1000.0
+# endpoint probes can both pass while the window collapses mid-run —
+# bench.py's own mid-run warm-touch is the only stamp that sees it.
+# CALIBRATION (measured end-r4): the metric's value depends on guest
+# memory state, not just host health — with a ~120 GB free pool every
+# 12 GB touch faults genuinely hypervisor-cold frames and the HEALTHY
+# steady rate reads 400-700 MB/s (probed 3x back-to-back in a window
+# whose endpoint probes and compute-bound bench lines were all green),
+# while a frames-recycled state (page cache full, MemAvailable cap
+# small) reads 1000+.  The genuinely-degraded episode read 124 MB/s
+# with probe_after FAILED and memory-bound lines 1.3-3x inflated.  The
+# floor therefore sits between the degraded episode and the cold-pool
+# healthy band.  Same floor as bench_watcher's --min-warm-touch default
+# (it imports this constant).
+MIN_WARM_TOUCH_MB_S = 300.0
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
