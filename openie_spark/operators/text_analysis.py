@@ -531,3 +531,68 @@ def cooccurrence_lift(
             "lift_micro"
         ),
     )
+
+
+# -- DSIR-style data-selection importance scoring (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling" — public
+# knowledge).  DSIR weights candidate documents by how target-like their
+# n-gram distribution is; the published form multiplies per-feature
+# probability ratios in log space (float).  This engine's oracle
+# discipline requires bit-identical values, so the score here is the
+# ADDITIVE integer variant — documented as part of the declared
+# semantics: every token occurrence contributes the exact micro-unit
+# ratio (target_count * 1e6) div corpus_count, and a document's score is
+# the sum over its occurrences.  Monotonicity in "target-likeness" is
+# preserved; the exponential product is not.
+
+IMPORTANCE_SCALE = 1_000_000
+IMPORTANCE_TARGET_LANG = "en"
+IMPORTANCE_TOP = 100
+
+
+def importance_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    target_lang: str = IMPORTANCE_TARGET_LANG,
+    top: int = IMPORTANCE_TOP,
+) -> DataFrame:
+    """Top-``top`` documents by additive DSIR-style importance.
+
+    Output: (doc_id, lang, n_tokens, score_micro) ordered by
+    (score DESC, doc_id).  Tokenization is the engine's frozen ASCII
+    whitespace split (same JVM==twin semantics every text op pins).
+
+    Scale shape: one corpus-sized token explode; the target and corpus
+    token counts are vocabulary-bounded aggregates; the weight attach is
+    an equi-join on the token (AQE broadcasts it at small SF; at web
+    scale it is the standard posting-list shuffle — deliberately NOT a
+    mandatory broadcast, the vocabulary of a 100 TB corpus is not
+    driver-sized); the per-doc sum is map-side combinable; the final
+    top-k is one WindowGroupLimit-free global sort-limit of bounded
+    size."""
+    w = F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+    toks = df.select(
+        F.col(id_col).alias("id"), F.col(lang_col).alias("lang"), F.explode(w).alias("tok")
+    )
+    corpus = toks.groupBy("tok").agg(F.count("*").alias("cc"))
+    target = (
+        toks.where(F.col("lang") == target_lang)
+        .groupBy("tok")
+        .agg(F.count("*").alias("tc"))
+    )
+    weights = corpus.join(target, "tok", "left").select(
+        "tok",
+        F.expr(f"coalesce(tc, 0L) * {IMPORTANCE_SCALE} div cc").alias("w_micro"),
+    )
+    return (
+        toks.join(weights, "tok")
+        .groupBy(F.col("id").alias("doc_id"), "lang")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w_micro").alias("score_micro"),
+        )
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(top)
+    )

@@ -4241,6 +4241,48 @@ FROM m{SALIENCE_ITERS} ORDER BY mass DESC, id LIMIT {SALIENCE_TOP}
     )
 
 
+def q_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data-selection importance (text_analysis.py): additive
+    exact-integer variant of the published probability-ratio weighting —
+    target = English docs, weight per occurrence = (target_count * 1e6)
+    div corpus_count, top-100 docs by (score DESC, doc_id)."""
+    from openie_spark.operators.text_analysis import importance_scores
+
+    return importance_scores(load(spark, sf_dir, "documents"))
+
+
+def _importance_scores_sql() -> str:
+    from openie_spark.operators.text_analysis import (
+        IMPORTANCE_SCALE,
+        IMPORTANCE_TARGET_LANG,
+        IMPORTANCE_TOP,
+    )
+
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+),
+corpus AS (SELECT tok, COUNT(*) AS cc FROM toks GROUP BY tok),
+target AS (
+  SELECT tok, COUNT(*) AS tc FROM toks
+  WHERE lang = '{IMPORTANCE_TARGET_LANG}' GROUP BY tok
+),
+w AS (
+  SELECT corpus.tok,
+         COALESCE(tc, 0) * {IMPORTANCE_SCALE} // cc AS w_micro
+  FROM corpus LEFT JOIN target USING (tok)
+)
+SELECT doc_id, lang, COUNT(*) AS n_tokens,
+       CAST(SUM(w_micro) AS BIGINT) AS score_micro
+FROM toks JOIN w USING (tok)
+GROUP BY doc_id, lang
+ORDER BY score_micro DESC, doc_id LIMIT {IMPORTANCE_TOP}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -4342,6 +4384,7 @@ QUERIES = {
     "semantic_prune": q_semantic_prune,
     "ppr": q_ppr,
     "entity_salience": q_entity_salience,
+    "importance_scores": q_importance_scores,
 }
 
 ORACLE_SQL = {
@@ -4424,6 +4467,7 @@ ORACLE_SQL = {
     "semantic_prune": _semantic_prune_sql(),
     "ppr": _ppr_sql(),
     "entity_salience": _entity_salience_sql(),
+    "importance_scores": _importance_scores_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

@@ -262,3 +262,23 @@ def test_ranked_retrieval_missing_term_and_ties(spark):
     ]
     # equal scores -> tie broken toward the smaller doc_id; k=1 keeps doc 1
     assert got == [("q", 1, 1, 1_500_000, 1)]
+
+
+def test_importance_scores_hand_computed(spark):
+    from openie_spark.operators.text_analysis import importance_scores
+
+    docs = spark.createDataFrame(
+        [(1, "en", "a b"), (2, "de", "a c"), (3, "de", "b b")],
+        "doc_id bigint, lang string, text string",
+    )
+    got = [
+        (r["doc_id"], r["lang"], r["n_tokens"], r["score_micro"])
+        for r in importance_scores(docs).collect()
+    ]
+    # corpus: a=2 b=3 c=1; target(en): a=1 b=1 -> w(a)=500000,
+    # w(b)=333333, w(c)=0; per-occurrence additive sums:
+    assert got == [
+        (1, "en", 2, 833_333),
+        (3, "de", 2, 666_666),
+        (2, "de", 2, 500_000),
+    ]
