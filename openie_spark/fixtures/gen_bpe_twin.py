@@ -98,3 +98,46 @@ def bpe_merges_path(sf_dir: str) -> str:
     return store.ensure(
         name, lambda p: store.write_rows(bpe_merge_rows(sf_dir), MERGES_PA, p)
     )
+
+
+TOKENS_PA = pa.schema(
+    [
+        pa.field("token", pa.string(), nullable=False),
+        pa.field("total", pa.int64(), nullable=False),
+    ]
+)
+
+
+def token_counts_from_freq(
+    freq: dict[str, int], merges: int = BPE_MERGES, top: int | None = None
+) -> list[dict]:
+    """Encode a word-frequency table with the merges learned FROM IT and
+    count the resulting subword tokens — the pure-Python core of the
+    ``bpe_encode`` oracle (exposed for the fuzz gate, like
+    merges_from_freq)."""
+    rules = merges_from_freq(freq, merges)
+    syms: list[tuple[list[str], int]] = [
+        (list(w) + [BPE_EOW], n) for w, n in freq.items()
+    ]
+    for r in rules:
+        syms = [(_merge_seq(s, r["lhs"], r["rhs"]), n) for s, n in syms]
+    counts: dict[str, int] = {}
+    for s, n in syms:
+        for t in s:
+            counts[t] = counts.get(t, 0) + n
+    rows = [
+        {"token": t, "total": c}
+        for t, c in sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    ]
+    return rows[:top] if top is not None else rows
+
+
+def bpe_tokens_path(sf_dir: str, merges: int = BPE_MERGES, top: int = 100) -> str:
+    fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
+    name = f"bpe_tokens_twin_v1_{Path(sf_dir).name}_{fp}"
+    return store.ensure(
+        name,
+        lambda p: store.write_rows(
+            token_counts_from_freq(_word_freq(sf_dir), merges, top), TOKENS_PA, p
+        ),
+    )

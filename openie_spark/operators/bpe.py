@@ -116,3 +116,44 @@ def learn_bpe_merges(
     return spark.createDataFrame(
         rules, "rank bigint, lhs string, rhs string, n bigint"
     )
+
+
+BPE_TOKEN_TOP = 100
+
+
+def bpe_encode_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    merges: int = BPE_MERGES,
+    top: int = BPE_TOKEN_TOP,
+) -> DataFrame:
+    """Tokenizer APPLICATION: encode the corpus with the merges just
+    learned and return the top-``top`` subword tokens by corpus-weighted
+    count — (token, total), ordered (total DESC, token).
+
+    The merge table collects ``merges`` tiny rows (driver state is
+    rank-bounded); application is the same greedy-leftmost aggregate()
+    fold as training, replayed rank-ascending over the word-frequency
+    table (vocabulary-bounded, NOT the raw corpus — each distinct word
+    encodes once and carries its count).  The final token stats are one
+    vocabulary-bounded aggregate."""
+    rules = sorted(
+        learn_bpe_merges(df, text_col, merges).collect(), key=lambda r: r["rank"]
+    )
+    words = word_frequencies(df, text_col)
+    syms = words.select(
+        "n",
+        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))).alias("s"),
+    )
+    syms = cut_lineage(syms, eager=True)
+    for i, r in enumerate(rules):
+        syms = syms.select("n", _apply_merge(F.col("s"), r["lhs"], r["rhs"]).alias("s"))
+        if (i + 1) % 4 == 0:  # bound expression-tree depth, not data
+            syms = cut_lineage(syms)
+    return (
+        syms.select(F.explode("s").alias("token"), "n")
+        .groupBy("token")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.desc("total"), "token")
+        .limit(top)
+    )

@@ -3719,6 +3719,30 @@ def _bpe_merges_sql() -> str:
     )
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION (operators/bpe.py:bpe_encode_tokens): encode
+    the corpus with the merges learned from it (greedy-leftmost fold over
+    the vocabulary-bounded word-frequency table, rank-ascending) and
+    report the top-100 subword tokens by corpus-weighted count.  Oracle =
+    identity scan over the pure-Python twin's encoded-token counts
+    (fixtures/gen_bpe_twin.py:token_counts_from_freq)."""
+    from openie_spark.operators.bpe import bpe_encode_tokens
+
+    d = load(spark, sf_dir, "documents")
+    return bpe_encode_tokens(d, "text")
+
+
+def _bpe_encode_sql() -> str:
+    from openie_spark.fixtures.gen_bpe_twin import bpe_tokens_path
+    from openie_spark.operators.bpe import BPE_TOKEN_TOP
+
+    return (
+        "SELECT token, total "
+        f"FROM read_parquet('{bpe_tokens_path(ORACLE_SF_DIR, top=BPE_TOKEN_TOP)}') "
+        "ORDER BY total DESC, token"
+    )
+
+
 def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation run AS A STREAM (file source
     → append-mode parquet sink, Trigger.AvailableNow) — the second fully
@@ -4385,6 +4409,7 @@ QUERIES = {
     "ppr": q_ppr,
     "entity_salience": q_entity_salience,
     "importance_scores": q_importance_scores,
+    "bpe_encode": q_bpe_encode,
 }
 
 ORACLE_SQL = {
@@ -4500,4 +4525,5 @@ def build_oracle_sql() -> dict[str, str]:
     out["ann_topk_ivf"] = _ann_ivf_sql()
     out["cosine_near_dup"] = _cosine_near_dup_sql()
     out["bpe_merges"] = _bpe_merges_sql()
+    out["bpe_encode"] = _bpe_encode_sql()
     return out

@@ -107,3 +107,35 @@ def test_fuzz_spark_learner_matches_twin(spark):
         df = spark.createDataFrame([(text,)], "text string")
         got = [tuple(r) for r in learn_bpe_merges(df, merges=6).collect()]
         assert got == want, f"seed {seed}: {got} != {want}"
+
+
+def test_encode_matches_twin_fuzz(spark):
+    """Encoded-token counts from the Spark path and the pure-Python twin
+    core must be bit-identical on fuzzed corpora (the bpe_encode oracle's
+    machinery)."""
+    import random
+    import re
+
+    from openie_spark.fixtures.gen_bpe_twin import token_counts_from_freq
+    from openie_spark.operators.bpe import bpe_encode_tokens
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        words = [
+            "".join(rng.choice("abc") for _ in range(rng.randint(1, 5)))
+            for _ in range(rng.randint(15, 30))
+        ]
+        text = " ".join(words)
+        freq: dict[str, int] = {}
+        for tok in re.split(r"\s+", text.lower(), flags=re.ASCII):
+            if tok:
+                freq[tok] = freq.get(tok, 0) + 1
+        want = [
+            (r["token"], r["total"])
+            for r in token_counts_from_freq(freq, merges=6, top=50)
+        ]
+        df = spark.createDataFrame([(text,)], "text string")
+        got = [
+            tuple(r) for r in bpe_encode_tokens(df, merges=6, top=50).collect()
+        ]
+        assert got == want, f"seed {seed}"
