@@ -4265,6 +4265,49 @@ FROM m{SALIENCE_ITERS} ORDER BY mass DESC, id LIMIT {SALIENCE_TOP}
     )
 
 
+def q_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event_type: median absolute deviation via
+    percentile_disc TWICE (group median, then median of |v - med|) —
+    exact on the milli-unit bigints because the discrete percentile
+    returns an actual data value (the value_percentiles argument).  Plan:
+    two vocab-bounded aggs; the per-group median joins back broadcast."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    med = e.groupBy("event_type").agg(
+        F.expr(
+            "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT)"
+        ).alias("median_milli")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .select("event_type", "median_milli", F.abs(F.col("v") - F.col("median_milli")).alias("d"))
+        .groupBy("event_type", "median_milli")
+        .agg(
+            F.count("*").alias("n"),
+            F.expr(
+                "CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY d) AS BIGINT)"
+            ).alias("mad_milli"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_VALUE_MAD = """
+WITH e AS (SELECT event_type, CAST(ROUND(value * 1000) AS BIGINT) AS v FROM events),
+med AS (
+  SELECT event_type,
+         CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY v) AS BIGINT) AS median_milli
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type, median_milli, COUNT(*) AS n,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY abs(v - median_milli)) AS BIGINT)
+         AS mad_milli
+FROM e JOIN med USING (event_type)
+GROUP BY e.event_type, median_milli ORDER BY e.event_type
+"""
+
+
 def q_importance_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style data-selection importance (text_analysis.py): additive
     exact-integer variant of the published probability-ratio weighting —
@@ -4410,6 +4453,7 @@ QUERIES = {
     "entity_salience": q_entity_salience,
     "importance_scores": q_importance_scores,
     "bpe_encode": q_bpe_encode,
+    "value_mad": q_value_mad,
 }
 
 ORACLE_SQL = {
@@ -4493,6 +4537,7 @@ ORACLE_SQL = {
     "ppr": _ppr_sql(),
     "entity_salience": _entity_salience_sql(),
     "importance_scores": _importance_scores_sql(),
+    "value_mad": SQL_VALUE_MAD,
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }
