@@ -88,6 +88,9 @@ AUDIT = [
     ("semantic_prune", True),
     ("ppr", True),
     ("entity_salience", True),
+    ("importance_scores", True),
+    ("bpe_encode", True),
+    ("value_mad", True),
 ]
 
 CHECKS = {
