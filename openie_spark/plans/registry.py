@@ -3797,6 +3797,71 @@ ORDER BY window_start_us, event_type
 """
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked streaming exact dedup run AS A STREAM — the third
+    fully oracle-checked streaming query (after stream_sessions /
+    stream_counts): the documents corpus plus a full second copy arriving
+    60 s later feeds ``dropDuplicatesWithinWatermark`` (bounded state —
+    a key's state drops once the watermark passes its horizon), and the
+    sink aggregate counts unique (lang, text) survivors.  The dedup key
+    is (content_hash, lang) because within a micro-batch the surviving
+    ROW of a duplicate group is partition-order-dependent — only key
+    columns and their functional dependents (n_chars = f(text)) are
+    deterministic, which is exactly what the aggregate reads.  Assertion
+    instants derive from the temporal.py one-home; the oracle is plain
+    DISTINCT-then-GROUP BY.  Same content-fingerprint build-once cache
+    as the other stream queries."""
+    from openie_spark.operators.temporal import doc_event_seconds
+    from openie_spark.plans.checkpoint import table_fingerprint
+    from openie_spark.streaming.dedup import stream_dedup_to_parquet
+
+    base_docs = load(spark, sf_dir, "documents").select(
+        F.timestamp_seconds(doc_event_seconds("doc_id")).alias("ts"),
+        "lang",
+        "text",
+        "n_chars",
+    )
+    feed = base_docs.unionByName(
+        base_docs.withColumn("ts", F.col("ts") + F.expr("INTERVAL 60 SECONDS"))
+    )
+    digest = table_fingerprint(feed).replace(":", "_").replace("-", "n")
+
+    def _build(base: Path) -> None:
+        in_dir, ck, out = str(base / "in"), str(base / "ck"), str(base / "out")
+        # one input file -> one micro-batch (the stream_counts rule)
+        feed.coalesce(1).write.mode("overwrite").parquet(in_dir)
+        q = stream_dedup_to_parquet(
+            spark, in_dir, feed.schema, ck, out, keys=["content_hash", "lang"]
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("stream_dedup did not drain within 600s")
+
+    name = f"stream_dedup_{Path(sf_dir).name}_{digest}"
+    base = store.FIXTURE_DIR / name
+    marker = base / "_SUCCESS"
+    if not marker.exists():
+        base.mkdir(parents=True, exist_ok=True)
+        _build(base)
+        marker.touch()
+    return (
+        spark.read.parquet(str(base / "out"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_unique"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_STREAM_DEDUP = """
+WITH u AS (SELECT DISTINCT lang, md5(text) AS h, n_chars FROM documents)
+SELECT lang, COUNT(*) AS n_unique, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM u GROUP BY lang ORDER BY lang
+"""
+
+
 def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Integer-exact Lloyd's k-means over the int8-quantized embedding
     table (operators/kmeans.py) — the clustering member of the similarity
@@ -4454,6 +4519,7 @@ QUERIES = {
     "importance_scores": q_importance_scores,
     "bpe_encode": q_bpe_encode,
     "value_mad": q_value_mad,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLE_SQL = {
@@ -4538,6 +4604,7 @@ ORACLE_SQL = {
     "entity_salience": _entity_salience_sql(),
     "importance_scores": _importance_scores_sql(),
     "value_mad": SQL_VALUE_MAD,
+    "stream_dedup": SQL_STREAM_DEDUP,
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

@@ -576,3 +576,33 @@ def test_socket_source_drives_extraction_like_batch(spark, tmp_path):
 
     got = sorted(map(repr, spark.table("sock_triples").collect()))
     assert got == want
+
+
+def test_stream_dedup_composite_key_keeps_per_lang_survivors(spark, tmp_path):
+    """stream_dedup_to_parquet with a (content_hash, lang) key: the same
+    text in two langs survives once PER LANG, while a same-lang duplicate
+    is dropped — the determinism contract the stream_dedup oracle needs."""
+    import datetime as dt
+
+    from openie_spark.streaming.dedup import stream_dedup_to_parquet
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (t0, "en", "same words", 10),
+        (t0 + dt.timedelta(seconds=30), "en", "same words", 10),  # dup: dropped
+        (t0, "de", "same words", 10),  # other lang: kept
+        (t0, "en", "other words", 11),
+    ]
+    df = spark.createDataFrame(
+        rows, "ts timestamp, lang string, text string, n_chars bigint"
+    )
+    ind, ck, out = (str(tmp_path / k) for k in ("in", "ck", "out"))
+    df.coalesce(1).write.parquet(ind)
+    q = stream_dedup_to_parquet(
+        spark, ind, df.schema, ck, out, keys=["content_hash", "lang"]
+    )
+    assert q.awaitTermination(300)
+    got = sorted(
+        (r["lang"], r["text"]) for r in spark.read.parquet(out).collect()
+    )
+    assert got == [("de", "same words"), ("en", "other words"), ("en", "same words")]
