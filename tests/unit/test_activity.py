@@ -102,3 +102,58 @@ def test_bursts_range_frame_skips_empty_slots(spark):
     assert out[base + 30]["trailing_24h"] == 0
     assert out[base + 30]["prev_hours"] == 0
     assert out[base + 30]["is_burst"] == 0
+
+
+def _transitions_reference(rows, gap_us=30 * 60 * 1_000_000):
+    """Pure-Python replay of session_transitions: (eid, user, type, ts_us)."""
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for eid, user, kind, ts_us in rows:
+        by_user[user].append((ts_us, eid, kind))
+    pairs = defaultdict(int)
+    for evs in by_user.values():
+        evs.sort()
+        prev = None  # (ts_us, eid, kind) of previous event in-session
+        for ts_us, eid, kind in evs:
+            if prev is not None and ts_us - prev[0] <= gap_us:
+                pairs[(prev[2], kind)] += 1
+            prev = (ts_us, eid, kind)
+    totals = defaultdict(int)
+    for (src, _), n in pairs.items():
+        totals[src] += n
+    return {
+        (src, dst): (n, totals[src], n * 1_000_000 // totals[src])
+        for (src, dst), n in pairs.items()
+    }
+
+
+def test_transitions_match_python_reference_fuzz(spark):
+    import datetime as dt
+    import random
+
+    for seed in (3, 17, 59):
+        rng = random.Random(seed)
+        rows = []
+        for eid in range(120):
+            user = rng.randint(1, 5)
+            kind = rng.choice("abc")
+            # mix of intra-session gaps and > 30 min session breaks
+            ts_us = rng.randint(0, 3) * 31 * 60 * 1_000_000 + rng.randint(0, 10_000_000)
+            rows.append((eid, user, kind, ts_us))
+        df = spark.createDataFrame(
+            [
+                (eid, u, k, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=ts))
+                for eid, u, k, ts in rows
+            ],
+            "event_id bigint, user_id bigint, event_type string, ts timestamp",
+        )
+        got = {
+            (r["src_type"], r["dst_type"]): (
+                r["n_transitions"],
+                r["src_total"],
+                r["prob_ppm"],
+            )
+            for r in session_transitions(df).collect()
+        }
+        assert got == _transitions_reference(rows), f"seed {seed}"
