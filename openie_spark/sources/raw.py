@@ -89,4 +89,31 @@ def _re_quote(s: str) -> str:
     return re.escape(s)
 
 
-__all__ = ["ingest_jsonl", "ingest_text_dir"]
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CSV with a header → DOC_SCHEMA (one text span per row).
+
+    Schema is DECLARED, not inferred: inference scans the data twice and
+    silently coerces types per-sample — both wrong at 100 TB.  Standard
+    RFC-4180 quoting/escaping handles embedded commas and newlines
+    (``multiLine`` on, so quoted documents may span physical lines; such
+    files split per-file rather than per-block, the documented trade for
+    correctness on free-text columns)."""
+    raw = (
+        spark.read.option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .schema(f"{id_col} string, {text_col} string")
+        .csv(path)
+    )
+    return raw.select(
+        F.col(id_col).alias("doc_id"),
+        _single_span(F.coalesce(F.col(text_col), F.lit(""))).alias("spans"),
+    )
+
+
+__all__ = ["ingest_jsonl", "ingest_text_dir", "ingest_csv"]

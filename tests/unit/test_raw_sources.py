@@ -80,3 +80,33 @@ def test_ingest_text_dir_extensionless_keeps_name(spark, tmp_path):
     (d / "README").write_text("plain file.")
     df = ingest_text_dir(spark, str(d), glob="*")
     assert [r["doc_id"] for r in df.collect()] == ["README"]
+
+
+def test_csv_ingestion_quoted_multiline(spark, tmp_path):
+    """ingest_csv: declared schema, RFC-4180 quoting — embedded commas,
+    quotes, and newlines inside a document survive; null text becomes an
+    empty single span."""
+    from openie_spark.sources.raw import ingest_csv
+
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        'doc_id,text\n'
+        'd1,"hello, world"\n'
+        'd2,"line one\nline two"\n'
+        'd3,"she said ""hi"""\n'
+        'd4,\n'
+    )
+    rows = {
+        r["doc_id"]: r["spans"]
+        for r in ingest_csv(spark, str(p)).collect()
+    }
+    assert set(rows) == {"d1", "d2", "d3", "d4"}
+    texts = {k: v[0]["text"] for k, v in rows.items()}
+    assert texts == {
+        "d1": "hello, world",
+        "d2": "line one\nline two",
+        "d3": 'she said "hi"',
+        "d4": "",
+    }
+    for v in rows.values():
+        assert len(v) == 1 and v[0]["kind"] == "text" and v[0]["offset"] == 0
