@@ -12,10 +12,11 @@ This loop mechanizes the documented discipline:
     a momentary one) run ``python bench.py``;
   - stamp the attempt to ``--outdir`` (default /tmp/bench_candidates)
     whatever happens — candidates are NEVER auto-promoted to
-    BENCH_local.json; the operator inspects the in-run warm_touch and
+    BENCH_local.json; the operator inspects the warm-touch and
     probe_after stamps and promotes by hand (cp + git commit);
-  - exit 0 on the first GREEN candidate (probe_after_ok true AND in-run
-    warm_touch above ``--min-warm-touch``) or rc 1 when ``--budget-s``
+  - exit 0 on the first GREEN candidate (probe_after_ok true AND the
+    start-of-run warm touch — best of first + retry — above
+    ``--min-warm-touch``) or rc 1 when ``--budget-s``
     runs out.
 
 Nothing here runs concurrently with anything: one bench at a time, and the
@@ -34,7 +35,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO / "jobs"))
 
-from round_artifacts import MIN_WARM_TOUCH_MB_S  # one home for the floor
+from round_artifacts import MIN_WARM_TOUCH_MB_S, best_warm_touch  # one home
 
 
 def probe() -> dict:
@@ -88,7 +89,7 @@ def main() -> int:
         path = outdir / f"bench_{int(time.time())}.json"
         path.write_text(json.dumps(rec) + "\n")
         green = bool(rec.get("probe_after_ok")) and (
-            rec.get("warm_touch_mb_s", 0.0) >= args.min_warm_touch
+            best_warm_touch(rec) >= args.min_warm_touch
         )
         print(
             f"[watcher] candidate {path} headline={rec.get('value')} "

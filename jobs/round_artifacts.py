@@ -34,21 +34,35 @@ sys.path.insert(0, str(REPO / "jobs"))
 
 SF_DIR = "/root/testdata/sf0.01"
 
-# In-run warm-touch floor for PROMOTING a bench record (MB/s).  The
-# endpoint probes can both pass while the window collapses mid-run —
-# bench.py's own mid-run warm-touch is the only stamp that sees it.
-# CALIBRATION (measured end-r4): the metric's value depends on guest
-# memory state, not just host health — with a ~120 GB free pool every
-# 12 GB touch faults genuinely hypervisor-cold frames and the HEALTHY
-# steady rate reads 400-700 MB/s (probed 3x back-to-back in a window
-# whose endpoint probes and compute-bound bench lines were all green),
-# while a frames-recycled state (page cache full, MemAvailable cap
-# small) reads 1000+.  The genuinely-degraded episode read 124 MB/s
-# with probe_after FAILED and memory-bound lines 1.3-3x inflated.  The
-# floor therefore sits between the degraded episode and the cold-pool
-# healthy band.  Same floor as bench_watcher's --min-warm-touch default
-# (it imports this constant).
+# Warm-touch floor for PROMOTING a bench record (MB/s).  The stamp is
+# measured AT THE START of bench.py (before the suite; bench.py retries
+# once when the first touch reads cold), so this gate rejects records
+# whose window was already bad at launch; MID-run collapse is what the
+# probe_after_ok stamp catches.  CALIBRATION (measured end-r4): the
+# metric's value depends on guest memory state, not just host health —
+# with a ~120 GB free pool every 12 GB touch faults genuinely
+# hypervisor-cold frames and the HEALTHY steady rate reads 400-700 MB/s
+# (probed 3x back-to-back in a window whose endpoint probes and
+# compute-bound bench lines were all green), while a frames-recycled
+# state (page cache full, MemAvailable cap small) reads 1000+.  The
+# genuinely-degraded episode read 124 MB/s with probe_after FAILED and
+# memory-bound lines 1.3-3x inflated.  The floor therefore sits between
+# the degraded episode and the cold-pool healthy band.  The gate takes
+# the BEST of the first touch and bench.py's retry (a healthy window
+# whose first touch hit a cold pool must not be parked forever).  Same
+# floor as bench_watcher's --min-warm-touch default (it imports this
+# constant and best_warm_touch).
 MIN_WARM_TOUCH_MB_S = 300.0
+
+
+def best_warm_touch(bench: dict) -> float:
+    """The start-of-run warm-touch stamp a promotion gate should read:
+    max of the first touch and the retry (bench.py re-touches once when
+    the first reading is cold)."""
+    return max(
+        float(bench.get("warm_touch_mb_s", 0.0)),
+        float(bench.get("warm_touch_mb_s_retry", 0.0)),
+    )
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -175,8 +189,8 @@ def main() -> int:
         # window that went bad is not a record — park it as a candidate
         # instead of overwriting BENCH_local.json.
         degraded_after = bench.get("probe_after_ok") is False
-        degraded_mid = bench.get("warm_touch_mb_s", 0.0) < MIN_WARM_TOUCH_MB_S
-        degraded = degraded_after or degraded_mid
+        degraded_start = best_warm_touch(bench) < MIN_WARM_TOUCH_MB_S
+        degraded = degraded_after or degraded_start
         target = "BENCH_candidate.json" if degraded and not args.force else "BENCH_local.json"
         (out_dir / target).write_text(json.dumps(bench, indent=2))
         print("bench:", line, flush=True)
@@ -184,7 +198,7 @@ def main() -> int:
             why = (
                 "probe_after_ok=false"
                 if degraded_after
-                else f"in-run warm_touch {bench.get('warm_touch_mb_s')} < {MIN_WARM_TOUCH_MB_S} MB/s"
+                else f"start-of-run warm_touch {best_warm_touch(bench)} < {MIN_WARM_TOUCH_MB_S} MB/s"
             )
             print(
                 f"host degraded mid-bench ({why}): wrote "

@@ -134,7 +134,10 @@ def token_counts_from_freq(
 
 def bpe_tokens_path(sf_dir: str, merges: int = BPE_MERGES, top: int = 100) -> str:
     fp = store.file_fingerprint(Path(sf_dir) / "documents.parquet")
-    name = f"bpe_tokens_twin_v1_{Path(sf_dir).name}_{fp}"
+    # parameters are part of the cache key: a bumped BPE_TOKEN_TOP /
+    # BPE_MERGES (or a non-default caller) must not be served rows
+    # computed under the old parameters (CLAUDE.md stale-fixture rule)
+    name = f"bpe_tokens_twin_v1_m{merges}_t{top}_{Path(sf_dir).name}_{fp}"
     return store.ensure(
         name,
         lambda p: store.write_rows(

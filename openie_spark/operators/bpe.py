@@ -67,20 +67,26 @@ def _apply_merge(sym_col, a: str, b: str):
     )
 
 
-def learn_bpe_merges(
-    df: DataFrame, text_col: str = "text", merges: int = BPE_MERGES
-) -> DataFrame:
-    """Learn ``merges`` BPE rules from the corpus; returns the merge table
-    (rank 1.., lhs, rhs, n) — n is the corpus-weighted count of the pair
-    at the moment it was chosen.  Stops early (fewer rows) only if the
-    vocabulary runs out of adjacent pairs."""
-    spark = df.sparkSession
+def _initial_syms(df: DataFrame, text_col: str) -> DataFrame:
+    """(n, s): per-distinct-word count + character symbol sequence with
+    the EOW marker — the ONE corpus-sized pass (everything after runs on
+    the vocabulary-bounded frame)."""
     words = word_frequencies(df, text_col)
-    syms = words.select(
-        "n",
-        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))).alias("s"),
+    return cut_lineage(
+        words.select(
+            "n",
+            F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))).alias("s"),
+        ),
+        eager=True,
     )
-    syms = cut_lineage(syms, eager=True)
+
+
+def _learn(
+    syms: DataFrame, merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The merge-learning loop over an ``(n, s)`` frame: returns the rule
+    list AND the fully-merged symbol frame, so callers that need the
+    encoded corpus (bpe_encode_tokens) do not replay the folds."""
     rules: list[tuple[int, str, str, int]] = []
     for rank in range(1, merges + 1):
         # single-symbol rows (fully merged words) contribute no pairs AND
@@ -113,7 +119,18 @@ def learn_bpe_merges(
         rules.append((rank, a, b, cnt))
         syms = syms.select("n", _apply_merge(F.col("s"), a, b).alias("s"))
         syms = cut_lineage(syms)
-    return spark.createDataFrame(
+    return rules, syms
+
+
+def learn_bpe_merges(
+    df: DataFrame, text_col: str = "text", merges: int = BPE_MERGES
+) -> DataFrame:
+    """Learn ``merges`` BPE rules from the corpus; returns the merge table
+    (rank 1.., lhs, rhs, n) — n is the corpus-weighted count of the pair
+    at the moment it was chosen.  Stops early (fewer rows) only if the
+    vocabulary runs out of adjacent pairs."""
+    rules, _ = _learn(_initial_syms(df, text_col), merges)
+    return df.sparkSession.createDataFrame(
         rules, "rank bigint, lhs string, rhs string, n bigint"
     )
 
@@ -131,25 +148,12 @@ def bpe_encode_tokens(
     learned and return the top-``top`` subword tokens by corpus-weighted
     count — (token, total), ordered (total DESC, token).
 
-    The merge table collects ``merges`` tiny rows (driver state is
-    rank-bounded); application is the same greedy-leftmost aggregate()
-    fold as training, replayed rank-ascending over the word-frequency
-    table (vocabulary-bounded, NOT the raw corpus — each distinct word
-    encodes once and carries its count).  The final token stats are one
+    The learning loop ENDS with exactly the encoded symbol frame
+    (``_learn`` returns it alongside the rules), so encoding costs no
+    second corpus pass and no replayed folds — the only corpus-sized
+    work is the initial word count; the final token stats are one
     vocabulary-bounded aggregate."""
-    rules = sorted(
-        learn_bpe_merges(df, text_col, merges).collect(), key=lambda r: r["rank"]
-    )
-    words = word_frequencies(df, text_col)
-    syms = words.select(
-        "n",
-        F.concat(F.split("word", ""), F.array(F.lit(BPE_EOW))).alias("s"),
-    )
-    syms = cut_lineage(syms, eager=True)
-    for i, r in enumerate(rules):
-        syms = syms.select("n", _apply_merge(F.col("s"), r["lhs"], r["rhs"]).alias("s"))
-        if (i + 1) % 4 == 0:  # bound expression-tree depth, not data
-            syms = cut_lineage(syms)
+    _, syms = _learn(_initial_syms(df, text_col), merges)
     return (
         syms.select(F.explode("s").alias("token"), "n")
         .groupBy("token")

@@ -103,6 +103,9 @@ def ppr_mass(
     cut per round); the seed flag joins in broadcast once up front."""
     base = total_mass * 15 // 100
     s = seeds.select(F.col("id")).distinct().withColumn("_sb1", F.lit(1))
+    # carry the seed FLAG, not a derived sb>0 proxy: base is an integer
+    # floor of total_mass and can be 0 (total_mass < 7), in which case a
+    # proxy would zero every node's initial mass
     nodes = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -110,17 +113,17 @@ def ppr_mass(
         .join(F.broadcast(s), "id", "left")
         .select(
             "id",
-            F.when(F.col("_sb1").isNotNull(), F.lit(int(base)))
+            F.when(F.col("_sb1").isNotNull(), F.lit(1))
             .otherwise(F.lit(0))
-            .cast("long")
-            .alias("sb"),
+            .cast("int")
+            .alias("seed"),
         )
     )
     nodes = cut_lineage(nodes, eager=True)
     e_w = _weighted_edges(edges)
     ranks = nodes.select(
         "id",
-        F.when(F.col("sb") > 0, F.lit(int(total_mass)))
+        F.when(F.col("seed") == 1, F.lit(int(total_mass)))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("mass"),
@@ -137,9 +140,12 @@ def ppr_mass(
         )
         ranks = nodes.join(contrib, "id", "left").select(
             "id",
-            (F.col("sb") + F.coalesce("in_mass", F.lit(0))).cast("long").alias(
-                "mass"
-            ),
+            (
+                F.when(F.col("seed") == 1, F.lit(int(base))).otherwise(F.lit(0))
+                + F.coalesce("in_mass", F.lit(0))
+            )
+            .cast("long")
+            .alias("mass"),
         )
         ranks = cut_lineage(ranks)
     return ranks

@@ -1389,6 +1389,27 @@ ORDER BY a.user_id, a.session_start_us
 """
 
 
+def _ensure_stream_fixture(base: Path, build) -> None:
+    """Build-once guard for the streaming fixture caches.  A FAILED prior
+    build (drain timeout, crash) leaves a populated streaming checkpoint
+    and a partially-committed sink WITHOUT the _SUCCESS marker; starting
+    a fresh query against that checkpoint re-processes the input as
+    unseen while the old sink rows remain — up to double the rows,
+    permanently poisoning the cache.  So a marker-less directory is
+    wiped before rebuilding (shared by stream_sessions / stream_counts /
+    stream_dedup)."""
+    import shutil
+
+    marker = base / "_SUCCESS"
+    if marker.exists():
+        return
+    if base.exists():
+        shutil.rmtree(base)
+    base.mkdir(parents=True)
+    build(base)
+    marker.touch()
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     session splitting with cross-batch state AND event-time timeout (a
@@ -1427,11 +1448,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_sessions_{Path(sf_dir).name}_{digest}"
     base = store.FIXTURE_DIR / name
-    marker = base / "_SUCCESS"
-    if not marker.exists():
-        base.mkdir(parents=True, exist_ok=True)
-        _build(base)
-        marker.touch()
+    _ensure_stream_fixture(base, _build)
     return spark.read.parquet(str(base / "out")).orderBy(
         "user_id", "session_start_us"
     )
@@ -3770,11 +3787,7 @@ def q_stream_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_counts_{Path(sf_dir).name}_{digest}"
     base = store.FIXTURE_DIR / name
-    marker = base / "_SUCCESS"
-    if not marker.exists():
-        base.mkdir(parents=True, exist_ok=True)
-        _build(base)
-        marker.touch()
+    _ensure_stream_fixture(base, _build)
     return spark.read.parquet(str(base / "out")).orderBy(
         "window_start_us", "event_type"
     )
@@ -3839,11 +3852,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     name = f"stream_dedup_{Path(sf_dir).name}_{digest}"
     base = store.FIXTURE_DIR / name
-    marker = base / "_SUCCESS"
-    if not marker.exists():
-        base.mkdir(parents=True, exist_ok=True)
-        _build(base)
-        marker.touch()
+    _ensure_stream_fixture(base, _build)
     return (
         spark.read.parquet(str(base / "out"))
         .groupBy("lang")
@@ -4286,6 +4295,16 @@ SALIENCE_ITERS = 5
 SALIENCE_TOP = 100
 
 
+def _entity_type_case() -> str:
+    """The namespace-code → type-name decode, spelled ONCE for both the
+    Spark query and its oracle (one-home rule: editing the decode in one
+    engine and not the other must be impossible)."""
+    return "CASE " + " ".join(
+        f"WHEN id % 8 = {code} THEN '{name}'"
+        for name, code in sorted(ENTITY_TYPE_CODES.items(), key=lambda kv: kv[1])
+    ) + " END"
+
+
 def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity salience: exact-integer PageRank (operators/pagerank.py)
     over the REAL deterministic star KG (star_kg_edges — the same edge
@@ -4299,10 +4318,7 @@ def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = star_kg_edges(spark, sf_dir).select(
         F.col("head").alias("src"), F.col("tail").alias("dst")
     )
-    type_case = "CASE " + " ".join(
-        f"WHEN id % 8 = {code} THEN '{name}'"
-        for name, code in sorted(ENTITY_TYPE_CODES.items(), key=lambda kv: kv[1])
-    ) + " END"
+    type_case = _entity_type_case()
     return (
         pagerank_mass(e, iters=SALIENCE_ITERS)
         .orderBy(F.desc("mass"), "id")
@@ -4312,10 +4328,7 @@ def q_entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _entity_salience_sql() -> str:
-    type_case = "CASE " + " ".join(
-        f"WHEN id % 8 = {code} THEN '{name}'"
-        for name, code in sorted(ENTITY_TYPE_CODES.items(), key=lambda kv: kv[1])
-    ) + " END"
+    type_case = _entity_type_case()
     return (
         _unrolled_mass_cte(
             f"SELECT head AS src, tail AS dst FROM ({STAR_KG_EDGES_SQL})",

@@ -97,22 +97,32 @@ def ingest_csv(
 ) -> DataFrame:
     """CSV with a header → DOC_SCHEMA (one text span per row).
 
-    Schema is DECLARED, not inferred: inference scans the data twice and
-    silently coerces types per-sample — both wrong at 100 TB.  Standard
-    RFC-4180 quoting/escaping handles embedded commas and newlines
-    (``multiLine`` on, so quoted documents may span physical lines; such
-    files split per-file rather than per-block, the documented trade for
-    correctness on free-text columns)."""
+    Columns bind BY HEADER NAME, not position: passing an explicit
+    schema to a header CSV read makes Spark bind positionally and skip
+    the header, so a reordered or extended header would silently swap
+    doc ids and texts.  Reading header-aware with inference OFF keeps
+    every column string-typed in ONE pass (no double scan), and the
+    name-based select below fails loudly when the expected columns are
+    absent.  Standard RFC-4180 quoting/escaping handles embedded commas
+    and newlines (``multiLine`` on, so quoted documents may span
+    physical lines; such files split per-file rather than per-block,
+    the documented trade for correctness on free-text columns)."""
     raw = (
         spark.read.option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
-        .schema(f"{id_col} string, {text_col} string")
         .csv(path)
     )
+    missing = [c for c in (id_col, text_col) if c not in raw.columns]
+    if missing:
+        raise ValueError(
+            f"CSV header at {path!r} lacks column(s) {missing}; found {raw.columns}"
+        )
     return raw.select(
-        F.col(id_col).alias("doc_id"),
-        _single_span(F.coalesce(F.col(text_col), F.lit(""))).alias("spans"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        _single_span(F.coalesce(F.col(text_col).cast("string"), F.lit(""))).alias(
+            "spans"
+        ),
     )
 
 

@@ -75,3 +75,25 @@ def test_record_dropped_neutralizes_done(spark, tmp_path):
     assert ckpt.done_pids(state, "extract", "fpA") == {0}
     # by-fp gate agrees: pid 1's latest verdict is 'dropped'
     assert ckpt.done_pids_by_fp(state, "extract", {0: "fpA", 1: "fpA"}) == {0}
+
+
+def test_ensure_stream_fixture_wipes_partial_build(tmp_path):
+    """A marker-less fixture dir (failed prior build: stale streaming
+    checkpoint + partial sink) must be wiped before rebuilding; a marked
+    dir must be served untouched."""
+    from openie_spark.plans.registry import _ensure_stream_fixture
+
+    base = tmp_path / "fx"
+    (base / "ck").mkdir(parents=True)
+    (base / "ck" / "offsets").write_text("stale")
+    calls = []
+
+    def build(p):
+        calls.append(p)
+        assert not (p / "ck").exists()  # stale state gone before build
+        (p / "out").mkdir()
+
+    _ensure_stream_fixture(base, build)
+    assert calls == [base] and (base / "_SUCCESS").exists()
+    _ensure_stream_fixture(base, build)  # marked: no rebuild
+    assert len(calls) == 1

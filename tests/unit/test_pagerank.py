@@ -97,3 +97,19 @@ def test_ppr_matches_python_reference(spark):
     # non-seed nodes unreachable from any seed stay at exactly 0 —
     # here every node is reachable, so assert the seed-localized shape
     assert all(m >= 0 for m in got.values())
+
+
+def test_ppr_tiny_total_mass_keeps_seed_mass(spark):
+    # base = 5*15//100 == 0: the seed FLAG (not a sb>0 proxy) must still
+    # give seeds their initial mass so first-hop propagation happens
+    from openie_spark.operators.pagerank import ppr_mass
+
+    edges = [(1, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    seeds = spark.createDataFrame([(1,)], "id bigint")
+    got = {
+        r["id"]: r["mass"]
+        for r in ppr_mass(df, seeds, iters=1, total_mass=5).collect()
+    }
+    assert got == _ppr_reference(edges, {1}, 1, total=5)
+    assert got[2] == (5 * 17) // 20  # = 4: the first hop survived

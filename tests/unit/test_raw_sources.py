@@ -110,3 +110,22 @@ def test_csv_ingestion_quoted_multiline(spark, tmp_path):
     }
     for v in rows.values():
         assert len(v) == 1 and v[0]["kind"] == "text" and v[0]["offset"] == 0
+
+
+def test_csv_ingestion_binds_by_header_name(spark, tmp_path):
+    """Reordered/extended headers must bind by NAME (a positional bind
+    would silently swap ids and texts) and a missing column must raise."""
+    import pytest
+
+    from openie_spark.sources.raw import ingest_csv
+
+    p = tmp_path / "reordered.csv"
+    p.write_text('extra,text,doc_id\nx,"some words",d9\n')
+    rows = ingest_csv(spark, str(p)).collect()
+    assert [(r["doc_id"], r["spans"][0]["text"]) for r in rows] == [
+        ("d9", "some words")
+    ]
+    bad = tmp_path / "noheader.csv"
+    bad.write_text("a,b\n1,2\n")
+    with pytest.raises(ValueError, match="lacks column"):
+        ingest_csv(spark, str(bad))
