@@ -4428,6 +4428,42 @@ ORDER BY score_micro DESC, doc_id LIMIT {IMPORTANCE_TOP}
 """
 
 
+def q_kg_bgp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP matching over the star KG (operators/bgp.py):
+    the headline 4-pattern query whose ?n variable closes a cycle —
+    orders shipped by a supplier located in the same nation the ordering
+    customer is based in — aggregated to per-nation binding counts.
+    Patterns/select are one-homed in bgp.py (KG_BGP_PATTERNS); the oracle
+    interpolates the SAME constants through bgp_sql, so the two sides
+    cannot fork."""
+    from openie_spark.operators.bgp import KG_BGP_PATTERNS, KG_BGP_SELECT, match_bgp
+
+    bindings = match_bgp(star_kg_edges(spark, sf_dir), KG_BGP_PATTERNS, KG_BGP_SELECT)
+    return (
+        bindings.groupBy("n")
+        .agg(
+            F.count("*").alias("n_bindings"),
+            F.countDistinct("o").alias("n_orders"),
+            F.countDistinct("c").alias("n_customers"),
+            F.countDistinct("s").alias("n_suppliers"),
+        )
+        .orderBy("n")
+    )
+
+
+def _kg_bgp_sql() -> str:
+    from openie_spark.operators.bgp import KG_BGP_PATTERNS, KG_BGP_SELECT, bgp_sql
+
+    inner = bgp_sql(STAR_KG_EDGES_SQL, KG_BGP_PATTERNS, KG_BGP_SELECT)
+    return f"""
+SELECT n, CAST(COUNT(*) AS BIGINT) AS n_bindings,
+       CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT s) AS BIGINT) AS n_suppliers
+FROM ({inner}) GROUP BY n ORDER BY n
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -4533,6 +4569,7 @@ QUERIES = {
     "bpe_encode": q_bpe_encode,
     "value_mad": q_value_mad,
     "stream_dedup": q_stream_dedup,
+    "kg_bgp": q_kg_bgp,
 }
 
 ORACLE_SQL = {
@@ -4618,6 +4655,7 @@ ORACLE_SQL = {
     "importance_scores": _importance_scores_sql(),
     "value_mad": SQL_VALUE_MAD,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "kg_bgp": _kg_bgp_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

@@ -1,0 +1,110 @@
+"""BGP matching (operators/bgp.py): hand-computed bindings on known
+graphs, every term shape (constant pred/entity, variable pred, repeated
+var within a pattern, cycle across patterns, disconnected groups), and
+Spark/DuckDB twin lockstep via bgp_sql on a seeded random graph."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from openie_spark.operators.bgp import bgp_sql, match_bgp
+
+SCHEMA = "pred string, head bigint, tail bigint"
+
+
+def _run(spark, edges, patterns, select=None):
+    df = spark.createDataFrame(edges, SCHEMA)
+    rows = match_bgp(df, patterns, select).collect()
+    return {tuple(r) for r in rows}
+
+
+def test_single_pattern_constant_pred(spark):
+    edges = [("knows", 1, 2), ("knows", 2, 3), ("likes", 1, 3)]
+    got = _run(spark, edges, [("?a", "knows", "?b")])
+    assert got == {(1, 2), (2, 3)}
+
+
+def test_constant_subject_and_object(spark):
+    edges = [("knows", 1, 2), ("knows", 1, 3), ("knows", 2, 3)]
+    assert _run(spark, edges, [(1, "knows", "?b")]) == {(2,), (3,)}
+    assert _run(spark, edges, [("?a", "knows", 3)]) == {(1,), (2,)}
+
+
+def test_variable_predicate(spark):
+    edges = [("knows", 1, 2), ("likes", 1, 2), ("knows", 2, 3)]
+    got = _run(spark, edges, [(1, "?p", 2)])
+    assert got == {("knows",), ("likes",)}
+
+
+def test_repeated_var_within_pattern(spark):
+    edges = [("knows", 1, 1), ("knows", 1, 2), ("knows", 3, 3)]
+    got = _run(spark, edges, [("?x", "knows", "?x")])
+    assert got == {(1,), (3,)}
+
+
+def test_two_hop_join(spark):
+    edges = [("knows", 1, 2), ("knows", 2, 3), ("knows", 2, 4), ("knows", 9, 9)]
+    got = _run(spark, edges, [("?a", "knows", "?b"), ("?b", "knows", "?c")])
+    assert got == {(1, 2, 3), (1, 2, 4), (9, 9, 9)}
+
+
+def test_cycle_constraint(spark):
+    # triangle 1->2->3->1 plus a non-closing path 1->2->4
+    edges = [("e", 1, 2), ("e", 2, 3), ("e", 3, 1), ("e", 2, 4)]
+    pats = [("?a", "e", "?b"), ("?b", "e", "?c"), ("?c", "e", "?a")]
+    got = _run(spark, edges, pats)
+    assert got == {(1, 2, 3), (2, 3, 1), (3, 1, 2)}
+
+
+def test_select_projection_distinct(spark):
+    # two bindings that coincide after projection → set semantics dedups
+    edges = [("e", 1, 2), ("e", 1, 3), ("e", 2, 9), ("e", 3, 9)]
+    pats = [(1, "e", "?m"), ("?m", "e", "?t")]
+    got = _run(spark, edges, pats, select=["?t"])
+    assert got == {(9,)}
+
+
+def test_disconnected_groups_cartesian(spark):
+    edges = [("a", 1, 2), ("b", 7, 8), ("b", 7, 9)]
+    got = _run(spark, edges, [("?x", "a", "?y"), ("?u", "b", "?v")])
+    assert got == {(1, 2, 7, 8), (1, 2, 7, 9)}
+
+
+def test_needs_a_variable(spark):
+    df = spark.createDataFrame([("e", 1, 2)], SCHEMA)
+    with pytest.raises(ValueError):
+        match_bgp(df, [(1, "e", 2)])
+    with pytest.raises(ValueError):
+        bgp_sql("SELECT 1", [(1, "e", 2)])
+
+
+def test_duckdb_twin_lockstep_random_graph(spark):
+    """match_bgp and bgp_sql agree on a seeded random graph for a mixed
+    pattern set (constant pred + variable pred + cycle)."""
+    rng = random.Random(411)
+    edges = list(
+        {
+            (rng.choice(["p", "q", "r"]), rng.randrange(12), rng.randrange(12))
+            for _ in range(160)
+        }
+    )
+    pats = [("?a", "p", "?b"), ("?b", "?pr", "?c"), ("?c", "q", "?a")]
+    sel = ["?a", "?b", "?c", "?pr"]
+    df = spark.createDataFrame(edges, SCHEMA)
+    got = {tuple(r) for r in match_bgp(df, pats, sel).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE edges (pred VARCHAR, head BIGINT, tail BIGINT)"
+    )
+    con.executemany("INSERT INTO edges VALUES (?, ?, ?)", edges)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            bgp_sql("SELECT pred, head, tail FROM edges", pats, sel)
+        ).fetchall()
+    }
+    assert got == want and got  # non-vacuous
