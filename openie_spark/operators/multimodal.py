@@ -18,9 +18,14 @@ format capability:
   - **REAL video decode** for YUV4MPEG2 C444 via functions/videocodec.py:
     genuine y4m payloads; dims, exact duration, poster-frame features and
     per-instant frame seek + luma features all compute from actual frames.
-  - **Deterministic STUBS** (clearly marked) for the remaining compressed
-    formats (MP3/AAC/H.264 need codec deps).  Swapping a stub for
-    PIL/ffmpeg changes one inner function, not the plan.
+  - **REAL header-layer metadata probes** for the remaining compressed
+    formats (functions/mediaprobe.py): MP3 and ADTS-AAC frame walks give
+    exact duration/rate/bitrate, H.264 Annex-B SPS parsing gives exact
+    dims (+fps when VUI timing is present).  Only the parts that need
+    PCM/pixel reconstruction (feature vectors, thumbnails, frame decode)
+    keep **deterministic STUBS** (clearly marked — Huffman/IMDCT/CABAC
+    need codec deps).  Swapping a stub for PIL/ffmpeg changes one inner
+    function, not the plan.
 
 Everything Spark-side is real and tested either way: schemas, Arrow batch
 shapes, mapInPandas iterator signatures, partition-size controls.
@@ -252,14 +257,19 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
     """mapInPandas decode/feature-extraction over Arrow batches.  Images
     in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel
     features; WAV audio a REAL decode + sample-energy features; y4m video
-    a REAL decode + dims/duration/poster-frame luma features; everything
-    else falls back to the stubs."""
+    a REAL decode + dims/duration/poster-frame luma features.  Compressed
+    formats without an in-container codec run the REAL header-layer
+    probes (functions/mediaprobe.py: MP3/ADTS frame walks, H.264 SPS
+    parse) for exact duration/rate/dims metadata — only the feature
+    vector (which needs PCM/pixels) falls back to the labeled stub there.
+    Unparseable bytes fall through to the stubs."""
     from openie_spark.functions.audiocodec import (
         decode_wav,
         pcm_features,
         wav_duration_ms,
     )
     from openie_spark.functions.imagecodec import decode_image, rgb_features
+    from openie_spark.functions.mediaprobe import probe_adts, probe_h264, probe_mp3
     from openie_spark.functions.videocodec import (
         decode_y4m,
         y4m_duration_ms,
@@ -287,7 +297,14 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
                         duration = wav_duration_ms(rate, ch, samples)
                         feature = pcm_features(samples, ch, FEATURE_DIM)
                     else:
-                        duration = _decode_audio_stub(content)
+                        mp3 = probe_mp3(content)
+                        adts = None if mp3 is not None else probe_adts(content)
+                        if mp3 is not None:
+                            duration = int(mp3[2])  # exact frame-walk ms
+                        elif adts is not None:
+                            duration = int(adts[3])
+                        else:
+                            duration = _decode_audio_stub(content)
                 elif r.kind == "video":
                     vid = decode_y4m(content)
                     if vid is not None:
@@ -298,7 +315,12 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
                         # is the first frame's luma profile
                         feature = y_features(w, h, frames[0], FEATURE_DIM)
                     else:
-                        duration = _decode_audio_stub(content)
+                        h264 = probe_h264(content)
+                        if h264 is not None:
+                            width, height, _nf, dur = h264
+                            duration = None if dur is None else int(dur)
+                        else:
+                            duration = _decode_audio_stub(content)
                 rows.append(
                     {
                         "doc_id": r.doc_id,
