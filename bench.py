@@ -303,6 +303,12 @@ def main() -> int:
         "entity_salience",
         lambda: force(registry.q_entity_salience(spark, sf_dir)),
     )
+    # continuation addition: SPARQL-style BGP with a 4-pattern nation
+    # cycle over the star KG (operators/bgp.py) — the KG-query headline.
+    timed(
+        "kg_bgp",
+        lambda: force(registry.q_kg_bgp(spark, sf_dir)),
+    )
 
     # Post-run probe: a window can degrade MID-run (BENCH r4: probe-ok at
     # start, warm-touch collapsed during the suite and inflated the

@@ -91,6 +91,7 @@ AUDIT = [
     ("importance_scores", True),
     ("bpe_encode", True),
     ("value_mad", True),
+    ("kg_bgp", True),
 ]
 
 CHECKS = {
