@@ -60,15 +60,47 @@ def _vname(term: str) -> str:
     return term[1:]
 
 
-def match_bgp(
-    edges: DataFrame,
-    patterns: "list[TriplePattern]",
-    select: "list[str] | None" = None,
-) -> DataFrame:
-    """edges(pred, head, tail) × triple patterns → DISTINCT bindings of
-    the selected variables (one output column per variable, named without
-    the ``?``).  ``select`` defaults to every variable in first-appearance
-    order.  See module docstring for semantics and plan shape."""
+def _pattern_vars(patterns: "list[TriplePattern]") -> list[str]:
+    """Variables of a pattern list in first-appearance order."""
+    seen: list[str] = []
+    for pat in patterns:
+        for term in pat:
+            if _is_var(term) and _vname(term) not in seen:
+                seen.append(_vname(term))
+    return seen
+
+
+def _check_optional_groups(
+    required_vars: list[str], optional: "list[list[TriplePattern]]"
+) -> None:
+    """Shared validation for both engines: every OPTIONAL group must share
+    ≥1 variable with the REQUIRED patterns (an unshared group would be a
+    keep-all cross product — almost always a bug), and may NOT share a
+    variable another OPTIONAL group introduced (a left join on a nullable
+    key silently drops null matches, which is NOT SPARQL's sequential
+    compatible-bindings semantics — refuse rather than be subtly wrong)."""
+    introduced: set[str] = set()
+    for group in optional:
+        gvars = _pattern_vars(group)
+        if not any(v in required_vars for v in gvars):
+            raise ValueError(
+                "optional group shares no variable with the required patterns"
+            )
+        clash = [v for v in gvars if v in introduced]
+        if clash:
+            raise ValueError(
+                f"optional group reuses optional-introduced variable(s) {clash}; "
+                "only sharing with REQUIRED variables is supported"
+            )
+        introduced.update(v for v in gvars if v not in required_vars)
+
+
+def _eval_bgp(
+    edges: DataFrame, patterns: "list[TriplePattern]"
+) -> "tuple[DataFrame, list[str]]":
+    """Inner-join evaluation of one pattern list → (bindings frame, vars
+    in first-appearance order).  Not deduplicated (callers project +
+    distinct)."""
     result = None
     seen: list[str] = []
     for pat in patterns:
@@ -100,8 +132,44 @@ def match_bgp(
                 if shared
                 else result.crossJoin(frame)
             )
+    return result, seen
+
+
+def match_bgp(
+    edges: DataFrame,
+    patterns: "list[TriplePattern]",
+    select: "list[str] | None" = None,
+    optional: "list[list[TriplePattern]] | None" = None,
+) -> DataFrame:
+    """edges(pred, head, tail) × triple patterns → DISTINCT bindings of
+    the selected variables (one output column per variable, named without
+    the ``?``).  ``select`` defaults to every variable in first-appearance
+    order (required first, then optional-introduced).
+
+    ``optional`` is a list of pattern GROUPS, each evaluated as its own
+    BGP and LEFT-joined onto the required bindings on the variables it
+    shares with the required patterns (SPARQL OPTIONAL for well-designed
+    patterns; variables with no match bind NULL).  See
+    ``_check_optional_groups`` for the two refused shapes.  NOTE for
+    exact-compare consumers: a nullable int64 column turns float64 in
+    pandas — aggregate optional variables away (counts / IS NOT NULL)
+    before hash comparison.
+
+    See module docstring for semantics and plan shape."""
+    result, seen = _eval_bgp(edges, patterns)
     if not seen:
         raise ValueError("BGP needs at least one variable")
+    if optional:
+        _check_optional_groups(seen, optional)
+        for group in optional:
+            g, gseen = _eval_bgp(edges, group)
+            shared = [v for v in gseen if v in seen]
+            # distinct before the left join: bounded, and mirrors the SQL
+            # twin's SELECT DISTINCT subquery exactly
+            result = result.join(
+                g.select(*gseen).distinct(), on=shared, how="left"
+            )
+            seen += [v for v in gseen if v not in seen]
     out = [_vname(v) if _is_var(v) else v for v in (select or seen)]
     return result.select(*out).distinct()
 
@@ -110,12 +178,15 @@ def bgp_sql(
     edges_sql: str,
     patterns: "list[TriplePattern]",
     select: "list[str] | None" = None,
+    optional: "list[list[TriplePattern]] | None" = None,
 ) -> str:
     """DuckDB twin of ``match_bgp`` — generated from the SAME pattern
-    list, so the two sides cannot fork.  Later occurrences of a variable
-    equate to its FIRST reference (the same equi-join `match_bgp`'s
-    ``join(on=shared)`` performs; all columns are null-free so inner-join
-    and WHERE-equality semantics coincide)."""
+    list(s), so the two sides cannot fork.  Later occurrences of a
+    variable equate to its FIRST reference (the same equi-join
+    `match_bgp`'s ``join(on=shared)`` performs; all required columns are
+    null-free so inner-join and WHERE-equality semantics coincide).
+    ``optional`` groups become ``LEFT JOIN (SELECT DISTINCT ...) ON
+    shared-var equalities`` — the exact twin of the Spark left join."""
     refs: dict[str, str] = {}
     seen: list[str] = []
     conds: list[str] = []
@@ -137,11 +208,34 @@ def bgp_sql(
                 conds.append(f"{ref} = {int(term)}")
     if not seen:
         raise ValueError("BGP needs at least one variable")
-    out = [_vname(v) if _is_var(v) else v for v in (select or seen)]
-    sel = ", ".join(f"{refs[v]} AS {v}" for v in out)
     froms = ", ".join(f"({edges_sql}) t{i}" for i in range(len(patterns)))
     where = " AND ".join(conds) if conds else "TRUE"
-    return f"SELECT DISTINCT {sel} FROM {froms} WHERE {where}"
+    if not optional:
+        out = [_vname(v) if _is_var(v) else v for v in (select or seen)]
+        sel = ", ".join(f"{refs[v]} AS {v}" for v in out)
+        return f"SELECT DISTINCT {sel} FROM {froms} WHERE {where}"
+    _check_optional_groups(seen, optional)
+    req_sel = ", ".join(f"{refs[v]} AS {v}" for v in seen)
+    req_sql = f"SELECT DISTINCT {req_sel} FROM {froms} WHERE {where}"
+    out_refs = {v: f"req.{v}" for v in seen}
+    order = list(seen)
+    joins = []
+    for gi, group in enumerate(optional):
+        gvars = _pattern_vars(group)
+        gshared = [v for v in gvars if v in seen]
+        g_sql = bgp_sql(edges_sql, group, select=["?" + v for v in gvars])
+        alias = f"opt{gi}"
+        on = " AND ".join(f"{alias}.{v} = req.{v}" for v in gshared)
+        joins.append(f"LEFT JOIN ({g_sql}) {alias} ON {on}")
+        for v in gvars:
+            if v not in order:
+                out_refs[v] = f"{alias}.{v}"
+                order.append(v)
+    out = [_vname(v) if _is_var(v) else v for v in (select or order)]
+    sel = ", ".join(f"{out_refs[v]} AS {v}" for v in out)
+    return (
+        f"SELECT DISTINCT {sel} FROM ({req_sql}) req " + " ".join(joins)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -159,3 +253,12 @@ KG_BGP_PATTERNS = [
     ("?s", "located_in", "?n"),
 ]
 KG_BGP_SELECT = ["?n", "?o", "?c", "?s"]
+
+# Headline OPTIONAL query (one home, same rule): every customer with
+# their nation, OPTIONALly matched to orders they placed — customers
+# without orders survive with ?o = NULL (the KG twin of the relational
+# left-outer `customers_without_orders`).  Consumers aggregate ?o away
+# (counts) before exact comparison — see match_bgp's NULL-dtype note.
+KG_BGP_OPT_REQUIRED = [("?c", "based_in", "?n")]
+KG_BGP_OPT_OPTIONAL = [[("?o", "placed_by", "?c")]]
+KG_BGP_OPT_SELECT = ["?n", "?c", "?o"]

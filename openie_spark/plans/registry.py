@@ -4464,6 +4464,62 @@ FROM ({inner}) GROUP BY n ORDER BY n
 """
 
 
+def q_kg_bgp_optional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL OPTIONAL over the star KG (operators/bgp.py): every
+    customer with their nation, left-joined to the orders they placed —
+    customers without orders keep a NULL ?o binding.  Aggregated per
+    nation to (customers, customers-with-orders, distinct orders) so the
+    nullable bigint never reaches the dtype-strict hash (NULL-in-int64
+    → float64 in pandas).  Pattern groups one-homed in bgp.py."""
+    from openie_spark.operators.bgp import (
+        KG_BGP_OPT_OPTIONAL,
+        KG_BGP_OPT_REQUIRED,
+        KG_BGP_OPT_SELECT,
+        match_bgp,
+    )
+
+    b = match_bgp(
+        star_kg_edges(spark, sf_dir),
+        KG_BGP_OPT_REQUIRED,
+        KG_BGP_OPT_SELECT,
+        optional=KG_BGP_OPT_OPTIONAL,
+    )
+    return (
+        b.groupBy("n")
+        .agg(
+            F.countDistinct("c").alias("n_customers"),
+            F.countDistinct(
+                F.when(F.col("o").isNotNull(), F.col("c"))
+            ).alias("n_with_orders"),
+            F.countDistinct("o").alias("n_orders"),
+        )
+        .orderBy("n")
+    )
+
+
+def _kg_bgp_optional_sql() -> str:
+    from openie_spark.operators.bgp import (
+        KG_BGP_OPT_OPTIONAL,
+        KG_BGP_OPT_REQUIRED,
+        KG_BGP_OPT_SELECT,
+        bgp_sql,
+    )
+
+    inner = bgp_sql(
+        STAR_KG_EDGES_SQL,
+        KG_BGP_OPT_REQUIRED,
+        KG_BGP_OPT_SELECT,
+        optional=KG_BGP_OPT_OPTIONAL,
+    )
+    return f"""
+SELECT n, CAST(COUNT(DISTINCT c) AS BIGINT) AS n_customers,
+       CAST(COUNT(DISTINCT CASE WHEN o IS NOT NULL THEN c END) AS BIGINT)
+         AS n_with_orders,
+       CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+FROM ({inner}) GROUP BY n ORDER BY n
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "segment_revenue": q_segment_revenue,
@@ -4570,6 +4626,7 @@ QUERIES = {
     "value_mad": q_value_mad,
     "stream_dedup": q_stream_dedup,
     "kg_bgp": q_kg_bgp,
+    "kg_bgp_optional": q_kg_bgp_optional,
 }
 
 ORACLE_SQL = {
@@ -4656,6 +4713,7 @@ ORACLE_SQL = {
     "value_mad": SQL_VALUE_MAD,
     "stream_dedup": SQL_STREAM_DEDUP,
     "kg_bgp": _kg_bgp_sql(),
+    "kg_bgp_optional": _kg_bgp_optional_sql(),
     "span_invariant": SQL_SPAN_INVARIANT,
     "stream_sessions": _stream_sessions_sql(),
 }

@@ -108,3 +108,89 @@ def test_duckdb_twin_lockstep_random_graph(spark):
         ).fetchall()
     }
     assert got == want and got  # non-vacuous
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL groups (left-join semantics)
+# ---------------------------------------------------------------------------
+
+
+def _run_opt(spark, edges, patterns, optional, select=None):
+    df = spark.createDataFrame(edges, SCHEMA)
+    rows = match_bgp(df, patterns, select, optional=optional).collect()
+    return {tuple(r) for r in rows}
+
+
+def test_optional_binds_null_when_unmatched(spark):
+    edges = [("based_in", 1, 10), ("based_in", 2, 10), ("placed_by", 100, 1)]
+    got = _run_opt(
+        spark,
+        edges,
+        [("?c", "based_in", "?n")],
+        [[("?o", "placed_by", "?c")]],
+    )
+    assert got == {(1, 10, 100), (2, 10, None)}
+
+
+def test_optional_multiple_matches_keep_all(spark):
+    edges = [("based_in", 1, 10), ("placed_by", 100, 1), ("placed_by", 101, 1)]
+    got = _run_opt(
+        spark, edges, [("?c", "based_in", "?n")], [[("?o", "placed_by", "?c")]]
+    )
+    assert got == {(1, 10, 100), (1, 10, 101)}
+
+
+def test_two_optional_groups_join_required_only(spark):
+    edges = [
+        ("based_in", 1, 10),
+        ("placed_by", 100, 1),
+        ("vip", 1, 1),
+    ]
+    got = _run_opt(
+        spark,
+        edges,
+        [("?c", "based_in", "?n")],
+        [[("?o", "placed_by", "?c")], [("?c", "vip", "?v")]],
+    )
+    assert got == {(1, 10, 100, 1)}
+
+
+def test_optional_group_refusals(spark):
+    df = spark.createDataFrame([("e", 1, 2)], SCHEMA)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):  # unshared group = hidden cross product
+        match_bgp(df, [("?a", "e", "?b")], optional=[[("?x", "e", "?y")]])
+    with _pytest.raises(ValueError):  # group reusing an optional-introduced var
+        match_bgp(
+            df,
+            [("?a", "e", "?b")],
+            optional=[[("?b", "e", "?x")], [("?x", "e", "?z")]],
+        )
+    with _pytest.raises(ValueError):
+        bgp_sql("SELECT 1", [("?a", "e", "?b")], optional=[[("?x", "e", "?y")]])
+
+
+def test_optional_duckdb_twin_lockstep(spark):
+    rng = random.Random(797)
+    edges = list(
+        {
+            (rng.choice(["p", "q", "r"]), rng.randrange(10), rng.randrange(10))
+            for _ in range(120)
+        }
+    )
+    pats = [("?a", "p", "?b")]
+    opt = [[("?b", "q", "?c")], [("?a", "r", "?d")]]
+    df = spark.createDataFrame(edges, SCHEMA)
+    got = {tuple(r) for r in match_bgp(df, pats, optional=opt).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (pred VARCHAR, head BIGINT, tail BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?, ?)", edges)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            bgp_sql("SELECT pred, head, tail FROM edges", pats, optional=opt)
+        ).fetchall()
+    }
+    assert got == want and got
