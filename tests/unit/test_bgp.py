@@ -81,10 +81,14 @@ def test_needs_a_variable(spark):
         bgp_sql("SELECT 1", [(1, "e", 2)])
 
 
-def test_duckdb_twin_lockstep_random_graph(spark):
-    """match_bgp and bgp_sql agree on a seeded random graph for a mixed
+import pytest as _pt
+
+
+@_pt.mark.parametrize("seed", [411, 1202, 9091])
+def test_duckdb_twin_lockstep_random_graph(spark, seed):
+    """match_bgp and bgp_sql agree on seeded random graphs for a mixed
     pattern set (constant pred + variable pred + cycle)."""
-    rng = random.Random(411)
+    rng = random.Random(seed)
     edges = list(
         {
             (rng.choice(["p", "q", "r"]), rng.randrange(12), rng.randrange(12))
@@ -171,8 +175,9 @@ def test_optional_group_refusals(spark):
         bgp_sql("SELECT 1", [("?a", "e", "?b")], optional=[[("?x", "e", "?y")]])
 
 
-def test_optional_duckdb_twin_lockstep(spark):
-    rng = random.Random(797)
+@_pt.mark.parametrize("seed", [797, 2718, 31415])
+def test_optional_duckdb_twin_lockstep(spark, seed):
+    rng = random.Random(seed)
     edges = list(
         {
             (rng.choice(["p", "q", "r"]), rng.randrange(10), rng.randrange(10))
