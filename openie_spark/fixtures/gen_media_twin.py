@@ -3,8 +3,8 @@ side for ``media_features``, ``media_thumbnails`` and ``media_frames``.
 
 Same fixture discipline as gen_spec_triples / gen_dedup_twin: the twin
 shares ONLY the frozen per-item kernels (the synthetic fetch, the
-pure-stdlib BMP/PPM/PNG/GIF codec in functions/imagecodec.py, and the labeled
-decode/feature stubs for codec-less formats) and re-executes the span
+ONE-HOMED decode → probe → stub chain ``multimodal.decode_media_row``,
+and the image resize/frame-sample kernels) and re-executes the span
 explosion, fetch, decode, resize and frame-sampling loops single-process
 over plain lists.  Everything the CLUSTER adds — posexplode provenance,
 the two mapInPandas fences, Arrow float32 round-trips, the JVM
@@ -86,53 +86,14 @@ def _media_items(sf_dir: str) -> list[tuple[str, int, str, str, bytes]]:
 
 
 def media_feature_rows(sf_dir: str) -> list[dict]:
-    from openie_spark.functions.audiocodec import (
-        decode_wav,
-        pcm_features,
-        wav_duration_ms,
-    )
-    from openie_spark.functions.imagecodec import decode_image, rgb_features
-    from openie_spark.functions.videocodec import (
-        decode_y4m,
-        y4m_duration_ms,
-        y_features,
-    )
-    from openie_spark.operators.multimodal import (
-        FEATURE_DIM,
-        _decode_audio_stub,
-        _decode_image_stub,
-        _feature_stub,
-        feature_micro,
-    )
+    # the per-row decode → probe → stub chain is ONE-HOMED in
+    # multimodal.decode_media_row (shared with the Spark fence) — the
+    # twin only adds the sentinel encoding and the serialization twin
+    from openie_spark.operators.multimodal import decode_media_row, feature_micro
 
     rows = []
     for doc_id, pos, kind, ref, content in _media_items(sf_dir):
-        width = height = duration = None
-        feature = None
-        if kind == "image":
-            decoded = decode_image(content)
-            if decoded is not None:
-                width, height, rgb = decoded
-                feature = rgb_features(width, height, rgb, FEATURE_DIM)
-            else:
-                width, height = _decode_image_stub(content)
-        elif kind == "audio":
-            wav = decode_wav(content)
-            if wav is not None:
-                rate, ch, samples = wav
-                duration = wav_duration_ms(rate, ch, samples)
-                feature = pcm_features(samples, ch, FEATURE_DIM)
-            else:
-                duration = _decode_audio_stub(content)
-        elif kind == "video":
-            vid = decode_y4m(content)
-            if vid is not None:
-                w, h, num, den, frames = vid
-                width, height = w, h
-                duration = y4m_duration_ms(num, den, len(frames))
-                feature = y_features(w, h, frames[0], FEATURE_DIM)
-            else:
-                duration = _decode_audio_stub(content)
+        width, height, duration, feature = decode_media_row(kind, content)
         rows.append(
             {
                 "doc_id": doc_id,
@@ -143,9 +104,7 @@ def media_feature_rows(sf_dir: str) -> list[dict]:
                 "width": -1 if width is None else width,
                 "height": -1 if height is None else height,
                 "duration_ms": -1 if duration is None else duration,
-                "feature_q": feature_micro(
-                    feature if feature is not None else _feature_stub(content)
-                ),
+                "feature_q": feature_micro(feature),
             }
         )
     return rows

@@ -44,10 +44,12 @@ _SAMPLES_PER_FRAME = {(0, 1): 384, (1, 1): 384, (0, 2): 1152, (1, 2): 1152,
 
 
 def _skip_id3v2(data: bytes) -> int:
-    """Return the offset past an ID3v2 tag, 0 if none (syncsafe size)."""
+    """Return the offset past an ID3v2 tag, 0 if none (syncsafe size;
+    the v2.4 footer flag adds another 10 bytes not counted in size)."""
     if len(data) >= 10 and data[:3] == b"ID3":
         size = (data[6] << 21) | (data[7] << 14) | (data[8] << 7) | data[9]
-        return 10 + size
+        footer = 10 if data[5] & 0x10 else 0
+        return 10 + size + footer
     return 0
 
 
@@ -90,6 +92,8 @@ def probe_mp3(data: bytes):
             frame_len = spf // 8 * kbps * 1000 // sr + padding
         if frame_len <= 4:
             break
+        if pos + frame_len > len(data):
+            break  # truncated trailing frame: header-only evidence — skip
         n_frames += 1
         total_samples += _SAMPLES_PER_FRAME[(vgroup, layer)]
         bitrate_sum += kbps
@@ -134,8 +138,10 @@ def probe_adts(data: bytes):
         sr = _ADTS_RATES[sr_idx]
         if rate is None:
             rate, channels = sr, ch
-        elif sr != rate:
-            break
+        elif sr != rate or ch != channels:
+            break  # rate/channel change mid-stream: not one uniform stream
+        if pos + frame_len > len(data):
+            break  # truncated trailing frame
         n_frames += 1
         pos += frame_len
     if n_frames < 2 or rate is None:
@@ -310,11 +316,15 @@ def _nal_units(data: bytes):
 
 
 def probe_h264(data: bytes):
-    """Annex-B walk: parse the first SPS for dims (+fps when VUI timing
-    is present) and count access units (VCL NALs whose slice header
-    starts at first_mb_in_slice == 0).  Returns ``(width, height,
-    n_frames, duration_ms_or_None)`` or None if no SPS + VCL NAL pair is
-    found."""
+    """Annex-B walk: parse the first PARSEABLE SPS for dims (+fps when
+    VUI timing is present — streams repeat SPS before IDRs, so a damaged
+    first copy falls through to the next) and count access units (VCL
+    NALs whose slice header starts at first_mb_in_slice == 0).  Known
+    limitation: field-coded (PAFF) pictures count as one unit per FIELD,
+    so n_frames/duration are 2x for interlaced streams — distinguishing
+    fields needs the PPS + full slice-header parse a real decoder does.
+    Returns ``(width, height, n_frames, duration_ms_or_None)`` or None
+    if no parseable SPS + VCL NAL pair is found."""
     sps = None
     n_frames = 0
     for nal_type, payload in _nal_units(data):
@@ -322,7 +332,7 @@ def probe_h264(data: bytes):
             try:
                 sps = parse_sps(_unescape_rbsp(payload[1:]))
             except (ValueError, IndexError):
-                return None
+                continue  # damaged SPS copy — try the next repetition
         elif nal_type in (1, 5) and len(payload) > 1:
             try:
                 first_mb = _BitReader(_unescape_rbsp(payload[1:5])).ue()

@@ -41,6 +41,8 @@ registry's Spark query (`q_kg_bgp`) and its DuckDB oracle
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +70,39 @@ def _pattern_vars(patterns: "list[TriplePattern]") -> list[str]:
             if _is_var(term) and _vname(term) not in seen:
                 seen.append(_vname(term))
     return seen
+
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _validate_vars(groups: "list[list[TriplePattern]]") -> None:
+    """Shared up-front validation for BOTH engines (the twin rule: refuse
+    identically or the two sides fork on edge inputs):
+
+    - variable names must be plain identifiers (they become DataFrame
+      column names AND SQL aliases);
+    - a variable may not be bound to both the PREDICATE position and a
+      subject/object position (pred is a string column, entities are
+      bigints — DuckDB raises a VARCHAR→BIGINT conversion error on the
+      generated equality while Spark silently null-casts to an empty
+      result, so the unification is refused outright)."""
+    kinds: dict[str, str] = {}
+    for pats in groups:
+        for pat in pats:
+            if len(pat) != 3:
+                raise ValueError(f"pattern must be a (s, p, o) triple: {pat!r}")
+            for term, col in zip(pat, _COLS):
+                if not _is_var(term):
+                    continue
+                v = _vname(term)
+                if not _IDENT.fullmatch(v):
+                    raise ValueError(f"variable name must be an identifier: ?{v}")
+                kind = "pred" if col == "pred" else "node"
+                if kinds.setdefault(v, kind) != kind:
+                    raise ValueError(
+                        f"variable ?{v} is used in both predicate and "
+                        "subject/object positions (string vs bigint — refused)"
+                    )
 
 
 def _check_optional_groups(
@@ -156,6 +191,7 @@ def match_bgp(
     before hash comparison.
 
     See module docstring for semantics and plan shape."""
+    _validate_vars([patterns, *(optional or [])])
     result, seen = _eval_bgp(edges, patterns)
     if not seen:
         raise ValueError("BGP needs at least one variable")
@@ -186,7 +222,10 @@ def bgp_sql(
     `match_bgp`'s ``join(on=shared)`` performs; all required columns are
     null-free so inner-join and WHERE-equality semantics coincide).
     ``optional`` groups become ``LEFT JOIN (SELECT DISTINCT ...) ON
-    shared-var equalities`` — the exact twin of the Spark left join."""
+    shared-var equalities`` — the exact twin of the Spark left join.
+    Variable-derived output aliases are double-quoted so reserved words
+    (``?order``) work identically on both sides."""
+    _validate_vars([patterns, *(optional or [])])
     refs: dict[str, str] = {}
     seen: list[str] = []
     conds: list[str] = []
@@ -212,12 +251,12 @@ def bgp_sql(
     where = " AND ".join(conds) if conds else "TRUE"
     if not optional:
         out = [_vname(v) if _is_var(v) else v for v in (select or seen)]
-        sel = ", ".join(f"{refs[v]} AS {v}" for v in out)
+        sel = ", ".join(f'{refs[v]} AS "{v}"' for v in out)
         return f"SELECT DISTINCT {sel} FROM {froms} WHERE {where}"
     _check_optional_groups(seen, optional)
-    req_sel = ", ".join(f"{refs[v]} AS {v}" for v in seen)
+    req_sel = ", ".join(f'{refs[v]} AS "{v}"' for v in seen)
     req_sql = f"SELECT DISTINCT {req_sel} FROM {froms} WHERE {where}"
-    out_refs = {v: f"req.{v}" for v in seen}
+    out_refs = {v: f'req."{v}"' for v in seen}
     order = list(seen)
     joins = []
     for gi, group in enumerate(optional):
@@ -225,14 +264,14 @@ def bgp_sql(
         gshared = [v for v in gvars if v in seen]
         g_sql = bgp_sql(edges_sql, group, select=["?" + v for v in gvars])
         alias = f"opt{gi}"
-        on = " AND ".join(f"{alias}.{v} = req.{v}" for v in gshared)
+        on = " AND ".join(f'{alias}."{v}" = req."{v}"' for v in gshared)
         joins.append(f"LEFT JOIN ({g_sql}) {alias} ON {on}")
         for v in gvars:
             if v not in order:
-                out_refs[v] = f"{alias}.{v}"
+                out_refs[v] = f'{alias}."{v}"'
                 order.append(v)
     out = [_vname(v) if _is_var(v) else v for v in (select or order)]
-    sel = ", ".join(f"{out_refs[v]} AS {v}" for v in out)
+    sel = ", ".join(f'{out_refs[v]} AS "{v}"' for v in out)
     return (
         f"SELECT DISTINCT {sel} FROM ({req_sql}) req " + " ".join(joins)
     )

@@ -253,16 +253,15 @@ def _feature_stub(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return [float(x) for x in np.round(rng.standard_normal(dim), 6)]
 
 
-def decode_media(media_with_bytes: DataFrame) -> DataFrame:
-    """mapInPandas decode/feature-extraction over Arrow batches.  Images
-    in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel
-    features; WAV audio a REAL decode + sample-energy features; y4m video
-    a REAL decode + dims/duration/poster-frame luma features.  Compressed
-    formats without an in-container codec run the REAL header-layer
-    probes (functions/mediaprobe.py: MP3/ADTS frame walks, H.264 SPS
-    parse) for exact duration/rate/dims metadata — only the feature
-    vector (which needs PCM/pixels) falls back to the labeled stub there.
-    Unparseable bytes fall through to the stubs."""
+def decode_media_row(kind: str, content: bytes):
+    """SINGLE HOME for the per-row decode → probe → labeled-stub chain —
+    the Spark fence (decode_media) and the oracle twin
+    (fixtures/gen_media_twin.py:media_feature_rows) must BOTH call this,
+    or the driver hash forks the moment a probed format enters the
+    fixture path.  Returns ``(width, height, duration_ms, feature)``
+    with None for fields the format does not carry; ``feature`` is
+    always a FEATURE_DIM float list (real where pixels/PCM decode,
+    the labeled stub otherwise)."""
     from openie_spark.functions.audiocodec import (
         decode_wav,
         pcm_features,
@@ -276,51 +275,71 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
         y_features,
     )
 
+    width = height = duration = None
+    feature = None
+    if kind == "image":
+        decoded = decode_image(content)
+        if decoded is not None:
+            width, height, rgb = decoded
+            feature = rgb_features(width, height, rgb, FEATURE_DIM)
+        else:
+            width, height = _decode_image_stub(content)
+    elif kind == "audio":
+        wav = decode_wav(content)
+        if wav is not None:
+            rate, ch, samples = wav
+            duration = wav_duration_ms(rate, ch, samples)
+            feature = pcm_features(samples, ch, FEATURE_DIM)
+        else:
+            mp3 = probe_mp3(content)
+            adts = None if mp3 is not None else probe_adts(content)
+            if mp3 is not None:
+                duration = int(mp3[2])  # exact frame-walk ms
+            elif adts is not None:
+                duration = int(adts[3])
+            else:
+                duration = _decode_audio_stub(content)
+    elif kind == "video":
+        vid = decode_y4m(content)
+        if vid is not None:
+            w, h, num, den, frames = vid
+            width, height = w, h
+            duration = y4m_duration_ms(num, den, len(frames))
+            # poster-frame convention: the stream-level feature is the
+            # first frame's luma profile
+            feature = y_features(w, h, frames[0], FEATURE_DIM)
+        else:
+            h264 = probe_h264(content)
+            if h264 is not None:
+                width, height, _nf, dur = h264
+                duration = None if dur is None else int(dur)
+            else:
+                duration = _decode_audio_stub(content)
+    if feature is None:
+        feature = _feature_stub(content)
+    return width, height, duration, feature
+
+
+def decode_media(media_with_bytes: DataFrame) -> DataFrame:
+    """mapInPandas decode/feature-extraction over Arrow batches.  Images
+    in a supported format (BMP/PPM/PNG/GIF) get a REAL decode + pixel
+    features; WAV audio a REAL decode + sample-energy features; y4m video
+    a REAL decode + dims/duration/poster-frame luma features.  Compressed
+    formats without an in-container codec run the REAL header-layer
+    probes (functions/mediaprobe.py: MP3/ADTS frame walks, H.264 SPS
+    parse) for exact duration/rate/dims metadata — only the feature
+    vector (which needs PCM/pixels) falls back to the labeled stub there.
+    Unparseable bytes fall through to the stubs.  The per-row chain is
+    one-homed in ``decode_media_row`` (shared with the oracle twin)."""
+
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 content = bytes(r.content) if r.content is not None else b""
-                width = height = duration = None
-                feature = None
-                if r.kind == "image":
-                    decoded = decode_image(content)
-                    if decoded is not None:
-                        width, height, rgb = decoded
-                        feature = rgb_features(width, height, rgb, FEATURE_DIM)
-                    else:
-                        width, height = _decode_image_stub(content)
-                elif r.kind == "audio":
-                    wav = decode_wav(content)
-                    if wav is not None:
-                        rate, ch, samples = wav
-                        duration = wav_duration_ms(rate, ch, samples)
-                        feature = pcm_features(samples, ch, FEATURE_DIM)
-                    else:
-                        mp3 = probe_mp3(content)
-                        adts = None if mp3 is not None else probe_adts(content)
-                        if mp3 is not None:
-                            duration = int(mp3[2])  # exact frame-walk ms
-                        elif adts is not None:
-                            duration = int(adts[3])
-                        else:
-                            duration = _decode_audio_stub(content)
-                elif r.kind == "video":
-                    vid = decode_y4m(content)
-                    if vid is not None:
-                        w, h, num, den, frames = vid
-                        width, height = w, h
-                        duration = y4m_duration_ms(num, den, len(frames))
-                        # poster-frame convention: the stream-level feature
-                        # is the first frame's luma profile
-                        feature = y_features(w, h, frames[0], FEATURE_DIM)
-                    else:
-                        h264 = probe_h264(content)
-                        if h264 is not None:
-                            width, height, _nf, dur = h264
-                            duration = None if dur is None else int(dur)
-                        else:
-                            duration = _decode_audio_stub(content)
+                width, height, duration, feature = decode_media_row(
+                    r.kind, content
+                )
                 rows.append(
                     {
                         "doc_id": r.doc_id,
@@ -331,7 +350,7 @@ def decode_media(media_with_bytes: DataFrame) -> DataFrame:
                         "width": width,
                         "height": height,
                         "duration_ms": duration,
-                        "feature": feature if feature is not None else _feature_stub(content),
+                        "feature": feature,
                     }
                 )
             yield pd.DataFrame(

@@ -199,3 +199,50 @@ def test_optional_duckdb_twin_lockstep(spark, seed):
         ).fetchall()
     }
     assert got == want and got
+
+
+# ---------------------------------------------------------------------------
+# validation: pred/node kind conflicts, identifier names, reserved words
+# ---------------------------------------------------------------------------
+
+
+def test_pred_node_unification_refused(spark):
+    """A variable bound to both the predicate and an entity position would
+    make DuckDB raise a cast error while Spark silently null-casts — both
+    engines refuse it up front instead."""
+    df = spark.createDataFrame([("e", 1, 2)], SCHEMA)
+    bad = [("?x", "p", "?c"), ("?a", "?x", "?b")]
+    with pytest.raises(ValueError):
+        match_bgp(df, bad)
+    with pytest.raises(ValueError):
+        bgp_sql("SELECT 1", bad)
+    with pytest.raises(ValueError):  # same-pattern variant
+        match_bgp(df, [("?a", "?a", "?b")])
+
+
+def test_non_identifier_variable_refused(spark):
+    df = spark.createDataFrame([("e", 1, 2)], SCHEMA)
+    with pytest.raises(ValueError):
+        match_bgp(df, [("?a-b", "e", "?c")])
+    with pytest.raises(ValueError):
+        bgp_sql("SELECT 1", [("?a;drop", "e", "?c")])
+
+
+def test_reserved_word_variable_lockstep(spark):
+    """?order is a legal variable; the SQL twin quotes the alias so the
+    oracle works too."""
+    edges = [("placed_by", 100, 1), ("placed_by", 101, 2)]
+    df = spark.createDataFrame(edges, SCHEMA)
+    pats = [("?order", "placed_by", "?c")]
+    got = {tuple(r) for r in match_bgp(df, pats).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE edges (pred VARCHAR, head BIGINT, tail BIGINT)")
+    con.executemany("INSERT INTO edges VALUES (?, ?, ?)", edges)
+    want = {
+        tuple(r)
+        for r in con.execute(
+            bgp_sql("SELECT pred, head, tail FROM edges", pats)
+        ).fetchall()
+    }
+    assert got == want == {(100, 1), (101, 2)}

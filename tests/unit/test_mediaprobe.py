@@ -249,3 +249,39 @@ def test_decode_media_probes_compressed_formats(spark):
     assert got["d4"]["duration_ms"] is not None  # stub fallback, labeled fake
     for r in got.values():
         assert len(r["feature"]) == 16  # stub features: shape contract holds
+
+
+# ---------------------------------------------------------------------------
+# robustness: tag footers, truncation, stream-uniformity, damaged SPS
+# ---------------------------------------------------------------------------
+
+
+def test_mp3_id3v24_footer_skip():
+    flags_footer = 0x10
+    tag = bytes([0x49, 0x44, 0x33, 4, 0, flags_footer, 0, 0, 0, 10])
+    tag += b"\x00" * 10 + b"3DI" + b"\x00" * 7  # body + footer
+    body = mp3_frame() + mp3_frame()
+    assert probe_mp3(tag + body) == probe_mp3(body)
+
+
+def test_mp3_truncated_trailing_frame_not_counted():
+    full = mp3_frame() + mp3_frame() + mp3_frame()
+    cut = full[:-50]  # last frame loses its tail
+    rate, n, dur, _ = probe_mp3(cut)
+    assert n == 2 and dur == 2 * 1152 * 1000 // 44100
+    # a spurious sync pair after the last full frame is also not counted
+    rate, n, _, _ = probe_mp3(full[: 2 * len(mp3_frame())] + b"\xff\xfb\x90")
+    assert n == 2
+
+
+def test_adts_channel_change_refused_like_rate_change():
+    data = adts_frame(3, 2) + adts_frame(3, 2) + adts_frame(3, 1) + adts_frame(3, 1)
+    rate, ch, n, _ = probe_adts(data)
+    assert (ch, n) == (2, 2)  # walk stops at the config change
+
+
+def test_h264_damaged_first_sps_falls_through_to_repeat():
+    good = annexb_stream(n_frames=4, fps=25)
+    # prepend a truncated SPS NAL (header byte only, empty RBSP)
+    damaged = b"\x00\x00\x00\x01\x67" + good
+    assert probe_h264(damaged) == probe_h264(good)
