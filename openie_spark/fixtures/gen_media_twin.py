@@ -111,25 +111,15 @@ def media_feature_rows(sf_dir: str) -> list[dict]:
 
 
 def media_thumb_rows(sf_dir: str, max_side: int = 256) -> list[dict]:
-    from openie_spark.functions.imagecodec import (
-        decode_image,
-        encode_ppm,
-        resize_nearest,
-    )
-    from openie_spark.operators.multimodal import _decode_image_stub, _resize_stub
+    # per-image chain ONE-HOMED in multimodal.thumbnail_row (shared with
+    # the Spark fence)
+    from openie_spark.operators.multimodal import thumbnail_row
 
     rows = []
     for doc_id, pos, kind, ref, content in _media_items(sf_dir):
         if kind != "image":
             continue
-        decoded = decode_image(content)
-        if decoded is not None:
-            w, h, rgb = decoded
-            tw, th, trgb = resize_nearest(w, h, rgb, max_side)
-            thumb = encode_ppm(tw, th, trgb)
-        else:
-            w, h = _decode_image_stub(content)
-            tw, th, thumb = _resize_stub(content, max_side)
+        w, h, tw, th, thumb = thumbnail_row(content, max_side)
         rows.append(
             {
                 "doc_id": doc_id,

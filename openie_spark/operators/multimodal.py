@@ -400,15 +400,33 @@ def _resize_stub(content: bytes, max_side: int) -> tuple[int, int, bytes]:
     return tw, th, payload
 
 
-def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame:
-    """Aspect-preserving thumbnail pass over image spans (mapInPandas).
-    Supported formats (BMP/PPM/PNG/GIF) run a REAL nearest-neighbor downscale and
-    emit the thumbnail re-encoded as PPM; unknown formats use the stub."""
+def thumbnail_row(content: bytes, max_side: int):
+    """SINGLE HOME for the per-image thumbnail chain (real decode →
+    nearest resize → PPM re-encode, stub for unparseable bytes) — shared
+    by the Spark fence (resize_images) and the oracle twin
+    (gen_media_twin.media_thumb_rows), same rule as decode_media_row.
+    Returns ``(width, height, thumb_w, thumb_h, thumb_bytes)``."""
     from openie_spark.functions.imagecodec import (
         decode_image,
         encode_ppm,
         resize_nearest,
     )
+
+    decoded = decode_image(content)
+    if decoded is not None:
+        w, h, rgb = decoded
+        tw, th, trgb = resize_nearest(w, h, rgb, max_side)
+        return w, h, tw, th, encode_ppm(tw, th, trgb)
+    w, h = _decode_image_stub(content)
+    tw, th, thumb = _resize_stub(content, max_side)
+    return w, h, tw, th, thumb
+
+
+def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame:
+    """Aspect-preserving thumbnail pass over image spans (mapInPandas).
+    Supported formats (BMP/PPM/PNG/GIF/JPEG) run a REAL nearest-neighbor
+    downscale and emit the thumbnail re-encoded as PPM; unknown formats
+    use the stub.  Per-image chain one-homed in ``thumbnail_row``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -417,14 +435,7 @@ def resize_images(media_with_bytes: DataFrame, max_side: int = 256) -> DataFrame
                 if r.kind != "image":
                     continue
                 content = bytes(r.content) if r.content is not None else b""
-                decoded = decode_image(content)
-                if decoded is not None:
-                    w, h, rgb = decoded
-                    tw, th, trgb = resize_nearest(w, h, rgb, max_side)
-                    thumb = encode_ppm(tw, th, trgb)
-                else:
-                    w, h = _decode_image_stub(content)
-                    tw, th, thumb = _resize_stub(content, max_side)
+                w, h, tw, th, thumb = thumbnail_row(content, max_side)
                 rows.append(
                     {
                         "doc_id": r.doc_id,
