@@ -92,6 +92,7 @@ AUDIT = [
     ("bpe_encode", True),
     ("value_mad", True),
     ("kg_bgp", True),
+    ("kg_bgp_optional", True),
 ]
 
 CHECKS = {
