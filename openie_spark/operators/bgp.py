@@ -130,6 +130,23 @@ def _check_optional_groups(
         introduced.update(v for v in gvars if v not in required_vars)
 
 
+def _check_select(select: "list[str] | None", bound: list[str]) -> None:
+    """Shared by both entry points (identical-refusal twin rule): a
+    ``select`` entry naming a variable no pattern binds gets the same
+    clean ValueError from match_bgp and bgp_sql, instead of a bare
+    KeyError / opaque AnalysisException."""
+    if not select:
+        return
+    unknown = [
+        s for s in select if (_vname(s) if _is_var(s) else s) not in bound
+    ]
+    if unknown:
+        raise ValueError(
+            f"select references unbound variable(s) {unknown}; "
+            f"bound variables: {bound}"
+        )
+
+
 def _eval_bgp(
     edges: DataFrame, patterns: "list[TriplePattern]"
 ) -> "tuple[DataFrame, list[str]]":
@@ -206,6 +223,7 @@ def match_bgp(
                 g.select(*gseen).distinct(), on=shared, how="left"
             )
             seen += [v for v in gseen if v not in seen]
+    _check_select(select, seen)
     out = [_vname(v) if _is_var(v) else v for v in (select or seen)]
     return result.select(*out).distinct()
 
@@ -250,6 +268,7 @@ def bgp_sql(
     froms = ", ".join(f"({edges_sql}) t{i}" for i in range(len(patterns)))
     where = " AND ".join(conds) if conds else "TRUE"
     if not optional:
+        _check_select(select, seen)
         out = [_vname(v) if _is_var(v) else v for v in (select or seen)]
         sel = ", ".join(f'{refs[v]} AS "{v}"' for v in out)
         return f"SELECT DISTINCT {sel} FROM {froms} WHERE {where}"
@@ -270,6 +289,7 @@ def bgp_sql(
             if v not in order:
                 out_refs[v] = f'{alias}."{v}"'
                 order.append(v)
+    _check_select(select, order)
     out = [_vname(v) if _is_var(v) else v for v in (select or order)]
     sel = ", ".join(f'{out_refs[v]} AS "{v}"' for v in out)
     return (

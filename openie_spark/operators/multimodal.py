@@ -212,10 +212,10 @@ def synth_media_bytes(kind: str, media_ref: str) -> bytes:
 def fetch_media_bytes(media: DataFrame) -> DataFrame:
     """SYNTHETIC fetch: real deployments read from object storage by
     media_ref — which is a per-row Python/connector task, so a Python
-    fence here matches the plan shape of the real thing.  Image spans get
-    a real decodable PPM/BMP/PNG/GIF payload, audio spans a real WAV
-    (both deterministic from the ref); video gets sha256-seeded opaque
-    bytes (no pure-stdlib codec exists)."""
+    fence here matches the plan shape of the real thing.  All three
+    modalities get REAL deterministic containers via synth_media_bytes
+    (image: PPM/BMP/PNG/GIF/JPEG; audio: WAV; video: y4m); only unknown
+    kinds keep the sha256-hexdigest stub payload."""
     out_schema = MEDIA_SCHEMA
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -239,8 +239,11 @@ def _decode_image_stub(content: bytes) -> tuple[int, int]:
     return 64 + h[0] % 512, 64 + h[1] % 512
 
 
-def _decode_audio_stub(content: bytes) -> int:
-    """STUB — deterministic fake duration; replace with soundfile/ffmpeg."""
+def _duration_stub(content: bytes) -> int:
+    """STUB — deterministic fake duration for ANY timed modality whose
+    container neither decodes nor probes (audio and video share it on
+    purpose — the fallback is modality-neutral); replace with
+    soundfile/ffmpeg."""
     h = hashlib.sha256(content or b"").digest()
     return 250 + int.from_bytes(h[2:4], "big") % 60_000
 
@@ -298,7 +301,7 @@ def decode_media_row(kind: str, content: bytes):
             elif adts is not None:
                 duration = int(adts[3])
             else:
-                duration = _decode_audio_stub(content)
+                duration = _duration_stub(content)
     elif kind == "video":
         vid = decode_y4m(content)
         if vid is not None:
@@ -314,7 +317,7 @@ def decode_media_row(kind: str, content: bytes):
                 width, height, _nf, dur = h264
                 duration = None if dur is None else int(dur)
             else:
-                duration = _decode_audio_stub(content)
+                duration = _duration_stub(content)
     if feature is None:
         feature = _feature_stub(content)
     return width, height, duration, feature
@@ -505,7 +508,7 @@ def sampled_frame_rows(
         w, h, num, den, frames = vid
         duration = y4m_duration_ms(num, den, len(frames))
     else:
-        duration = _decode_audio_stub(content)
+        duration = _duration_stub(content)
     n = min(max_frames, max(1, duration // every_ms))
     out = []
     for k in range(int(n)):

@@ -21,12 +21,16 @@ clause-for-clause):
     member of every neighborhood survives, deterministically.
 
 Scale shape (100 TB): k-means cost is the corpus scanned ITERS times
-(assignment is pure codegen; see kmeans.py).  The pair stage is an
-equi-join on cluster id — per-cluster all-pairs, exactly the published
-recipe, where K is the scale knob (SemDeDup runs k ~ n/avg_cluster_size;
-the frozen demo K=8 keeps the oracle tractable).  The dominance rule is
-a single aggregate over the directed pair frame — no transitive closure,
-no iteration."""
+(see kmeans.py for the two bit-identical assignment plans).  The pair
+stage is an equi-join on cluster id — per-cluster all-pairs, exactly the
+published recipe, where k is the scale knob (SemDeDup runs
+k ~ n/avg_cluster_size).  ``k=None`` resolves adaptively:
+k = max(KMEANS_K, ceil(n / target_cluster_size)), so the expected
+per-cluster pair population is bounded by target_cluster_size² no matter
+the corpus size — the knob is a callable parameter, not a doc note
+(tests/unit/test_kmeans.py fuzzes the bound; the DuckDB oracle computes
+the same k inside the SQL).  The dominance rule is a single aggregate
+over the directed pair frame — no transitive closure, no iteration."""
 
 from __future__ import annotations
 
@@ -34,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openie_spark.functions.lineage import cut_lineage
-from openie_spark.operators.kmeans import kmeans_int8
+from openie_spark.operators.kmeans import KMEANS_TARGET_CLUSTER_SIZE, kmeans_int8
 from openie_spark.operators.similarity import quantize_embeddings
 
 SEM_THRESH_NUM = 1
@@ -50,13 +54,22 @@ def _dot(a: str, b: str):
 
 
 def semantic_prune(
-    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = None,
+    target_cluster_size: int = KMEANS_TARGET_CLUSTER_SIZE,
 ) -> DataFrame:
     """vectors(id, array<float>) → (vec_id, cluster, dist, n_neighbors,
     pruned): the per-vector prune verdict (pruned = 0/1 bigint;
-    n_neighbors = same-cluster near-duplicate count)."""
+    n_neighbors = same-cluster near-duplicate count).  ``k`` /
+    ``target_cluster_size`` are the SemDeDup scale knob (see module
+    docstring); the defaults resolve k adaptively from the corpus size."""
     assign = cut_lineage(
-        kmeans_int8(vectors, id_col, vec_col), eager=True
+        kmeans_int8(
+            vectors, id_col, vec_col, k=k, target_cluster_size=target_cluster_size
+        ),
+        eager=True,
     )  # (vec_id, cluster, dist) — the oracle-checked clustering
     q = quantize_embeddings(vectors, vec_col, "q_vec").select(
         F.col(id_col).alias("vec_id"), "q_vec"

@@ -81,10 +81,9 @@ def test_needs_a_variable(spark):
         bgp_sql("SELECT 1", [(1, "e", 2)])
 
 
-import pytest as _pt
 
 
-@_pt.mark.parametrize("seed", [411, 1202, 9091])
+@pytest.mark.parametrize("seed", [411, 1202, 9091])
 def test_duckdb_twin_lockstep_random_graph(spark, seed):
     """match_bgp and bgp_sql agree on seeded random graphs for a mixed
     pattern set (constant pred + variable pred + cycle)."""
@@ -161,21 +160,20 @@ def test_two_optional_groups_join_required_only(spark):
 
 def test_optional_group_refusals(spark):
     df = spark.createDataFrame([("e", 1, 2)], SCHEMA)
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError):  # unshared group = hidden cross product
+    with pytest.raises(ValueError):  # unshared group = hidden cross product
         match_bgp(df, [("?a", "e", "?b")], optional=[[("?x", "e", "?y")]])
-    with _pytest.raises(ValueError):  # group reusing an optional-introduced var
+    with pytest.raises(ValueError):  # group reusing an optional-introduced var
         match_bgp(
             df,
             [("?a", "e", "?b")],
             optional=[[("?b", "e", "?x")], [("?x", "e", "?z")]],
         )
-    with _pytest.raises(ValueError):
+    with pytest.raises(ValueError):
         bgp_sql("SELECT 1", [("?a", "e", "?b")], optional=[[("?x", "e", "?y")]])
 
 
-@_pt.mark.parametrize("seed", [797, 2718, 31415])
+@pytest.mark.parametrize("seed", [797, 2718, 31415])
 def test_optional_duckdb_twin_lockstep(spark, seed):
     rng = random.Random(seed)
     edges = list(
@@ -246,3 +244,18 @@ def test_reserved_word_variable_lockstep(spark):
         ).fetchall()
     }
     assert got == want == {(100, 1), (101, 2)}
+
+
+def test_unbound_select_variable_refused_identically(spark):
+    """A select entry naming a variable no pattern binds gets the same
+    clean ValueError from BOTH entry points (identical-refusal twin
+    rule), in the plain, and the optional-group, shapes."""
+    df = spark.createDataFrame([("e", 1, 2)], SCHEMA)
+    for kwargs in (
+        {"select": ["?nope"]},
+        {"select": ["?a", "?nope"], "optional": [[("?a", "f", "?c")]]},
+    ):
+        with pytest.raises(ValueError, match="unbound"):
+            match_bgp(df, [("?a", "e", "?b")], **kwargs)
+        with pytest.raises(ValueError, match="unbound"):
+            bgp_sql("SELECT 1", [("?a", "e", "?b")], **kwargs)

@@ -119,6 +119,64 @@ def test_too_few_rows_raises(spark):
         kmeans_int8(df, k=3, iters=1)
 
 
+def test_adaptive_k_bounds_cluster_size():
+    """The scale-knob guarantee: expected cluster size n / adaptive_k(n)
+    never exceeds the target, for any corpus size — this is what bounds
+    the per-cluster all-pairs population in SemDeDup."""
+    from openie_spark.operators.kmeans import (
+        KMEANS_K,
+        KMEANS_TARGET_CLUSTER_SIZE,
+        adaptive_k,
+    )
+
+    for n in (0, 1, 7, 8, 100, 4095, 4096, 4097, 8192, 10**6, 10**9, 10**12):
+        k = adaptive_k(n)
+        assert k >= KMEANS_K
+        assert n <= k * KMEANS_TARGET_CLUSTER_SIZE
+    for target in (1, 2, 10, 1000):
+        for n in (0, 5, 99, 1000, 12345):
+            k = adaptive_k(n, target)
+            assert k >= KMEANS_K and n <= k * target
+
+
+def test_adaptive_default_equals_floor_on_small_corpus(spark):
+    """Below KMEANS_K * target vectors the adaptive k resolves to the
+    KMEANS_K floor — the guard that keeps every existing golden hash
+    (sf0.01/sf0.1 embeddings are far below the threshold) unchanged."""
+    rows = [
+        (i, [((i * 5 + d * 7) % 16) / 8.0 - 1.0 for d in range(4)])
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    assert _collect(kmeans_int8(df, iters=2)) == _collect(
+        kmeans_int8(df, k=8, iters=2)
+    )
+
+
+def test_distributed_plan_bit_identical_to_literal(spark):
+    """The large-k distributed plan (centroids as a DataFrame, broadcast
+    dim-join assignment, distributed update — no k-sized driver state)
+    must be bit-identical to the literal-codegen plan AND the pure-Python
+    twin: the selection rule is physical-plan-oblivious."""
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, [rng.randint(-8, 8) / 8.0 for _ in range(4)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    lit = _collect(kmeans_int8(df, k=5, iters=2))
+    dist = _collect(kmeans_int8(df, k=5, iters=2, literal_max_k=0))
+    assert lit == dist == _reference(rows, 5, 2)
+
+
+def test_distributed_plan_too_few_rows_raises(spark):
+    rows = [(i, [0.5, -0.5]) for i in range(3)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="needs >= 5"):
+        kmeans_int8(df, k=5, iters=1, literal_max_k=0)
+
+
 def test_fuzz_spark_matches_twin(spark):
     """Seeded random dyadic-float corpora (x*1000 exactly integral) must
     produce bit-identical assignments from the Spark operator and the

@@ -1,0 +1,57 @@
+"""Bounded-state exact discrete percentiles (operators/percentiles.py):
+equality with a pure-Python percentile_disc twin across ties, skewed
+groups, and boundary fractions.  Cross-engine parity for the registry
+queries is tests/sql/test_oracle_parity.py (value_percentiles /
+value_mad keep percentile_disc on the DuckDB side on purpose)."""
+
+from __future__ import annotations
+
+import random
+
+from openie_spark.operators.percentiles import disc_percentiles
+
+
+def _disc(vals: list[int], num: int, den: int) -> int:
+    """percentile_disc(num/den): the value at 1-indexed position
+    ceil(p * n) of the sorted multiset."""
+    s = sorted(vals)
+    pos = -(-num * len(s) // den)  # ceil
+    return s[max(pos, 1) - 1]
+
+
+def _run(spark, rows, ps):
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = disc_percentiles(df, ["g"], "v", ps).collect()
+    return {r["g"]: r for r in out}
+
+
+def test_matches_python_twin_with_ties_and_skew(spark):
+    rng = random.Random(7)
+    rows = []
+    groups = {
+        "a": [rng.randint(-5, 5) for _ in range(37)],  # heavy ties
+        "b": [rng.randint(-10**6, 10**6) for _ in range(101)],
+        "c": [42],  # single row
+        "d": [1, 1, 1, 1],  # all identical
+    }
+    for g, vs in groups.items():
+        rows += [(g, v) for v in vs]
+    ps = {"p50": (1, 2), "p90": (9, 10), "p100": (1, 1)}
+    got = _run(spark, rows, ps)
+    for g, vs in groups.items():
+        r = got[g]
+        assert r["n"] == len(vs)
+        assert r["p50"] == _disc(vs, 1, 2), g
+        assert r["p90"] == _disc(vs, 9, 10), g
+        assert r["p100"] == max(vs), g
+        assert r["v_min"] == min(vs) and r["v_max"] == max(vs)
+
+
+def test_deterministic_across_parallelism(spark):
+    rows = [("g", (i * 37) % 11 - 5) for i in range(50)]
+    df1 = spark.createDataFrame(rows, "g string, v bigint").repartition(1)
+    df8 = spark.createDataFrame(rows, "g string, v bigint").repartition(8)
+    ps = {"p50": (1, 2), "p25": (1, 4)}
+    a = disc_percentiles(df1, ["g"], "v", ps).collect()
+    b = disc_percentiles(df8, ["g"], "v", ps).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]

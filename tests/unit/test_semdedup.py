@@ -51,3 +51,20 @@ def test_every_near_neighborhood_keeps_a_survivor(spark):
     assert len(kept) == 1
     best = max(trio, key=lambda r: (r["dist"], -r["vec_id"]))
     assert kept == [best["vec_id"]]
+
+
+def test_scale_knob_is_callable_and_bounds_clusters(spark):
+    """The SemDeDup scale knob: a small target_cluster_size forces more
+    clusters (k = ceil(n/target) past the KMEANS_K floor), and passing
+    the equivalent explicit k is bit-identical — the knob is a real
+    parameter wired through to the clustering, not a doc note."""
+    from openie_spark.operators.kmeans import adaptive_k
+
+    rows = [(i, _basis(i % 24, 1.0 + (i % 5) * 0.25)) for i in range(30)]
+    v = _vecs(spark, rows)
+    k = adaptive_k(30, 2)  # = max(8, 15) = 15
+    assert k == 15
+    knob = semantic_prune(v, target_cluster_size=2).collect()
+    explicit = semantic_prune(v, k=15).collect()
+    assert [tuple(r) for r in knob] == [tuple(r) for r in explicit]
+    assert len({r["cluster"] for r in knob}) <= 15
