@@ -347,11 +347,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
                 qtables[tid] = q.reshape(8, 8)
                 sp += 65
         elif marker == 0xC0:  # SOF0 baseline
-            if seg[0] != 8:
+            # malformed-but-self-consistent segment lengths must refuse,
+            # not raise: a crafted short SOF would otherwise throw out of
+            # the slice unpack and kill the task instead of stubbing
+            if len(seg) < 6 or seg[0] != 8:
                 return None
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
-            if ncomp not in (1, 3):
+            if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
                 return None
             comps = []
             for c in range(ncomp):
@@ -359,8 +362,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
                 if sampling != 0x11:
                     return None  # subsampling: unsupported
                 comps.append((cid, qid))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            return None  # non-baseline SOF flavors
+        elif marker in (
+            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+        ):
+            return None  # non-baseline SOF flavors (incl. differential)
         elif marker == 0xC4:  # DHT (possibly several tables)
             sp = 0
             while sp + 17 <= len(seg):
@@ -375,8 +381,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
         elif marker == 0xDD:  # DRI restart interval
             return None  # unsupported (our encoder never emits it)
         elif marker == 0xDA:  # SOS
+            if not seg:
+                return None
             ns = seg[0]
-            if width is None or ns != len(comps):
+            if width is None or ns != len(comps) or len(seg) < 1 + 2 * ns:
                 return None
             scan = []
             for c in range(ns):

@@ -172,3 +172,64 @@ def test_refusals_dri_and_16bit_dqt():
     patched = bytearray(buf)
     patched[dqt + 4] |= 0x10
     assert decode_jpeg(bytes(patched)) is None
+
+
+def test_refusals_all_nonbaseline_sof_flavors():
+    """Every non-SOF0 frame marker — extended sequential, progressive,
+    lossless, differential, and all arithmetic-coded flavors — must
+    refuse (None), never raise: refused images fall back to the labeled
+    stub in the media pipeline."""
+    buf = encode_jpeg(8, 8, bytes([90, 100, 110]) * 64)
+    for sof in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        assert decode_jpeg(buf.replace(b"\xff\xc0", bytes([0xFF, sof]), 1)) is None, hex(sof)
+
+
+def test_refusals_structured_malformations_refuse_not_raise():
+    """Self-consistent-but-short segment lengths (a crafted or corrupt
+    file, not a random bit flip) must return None — a raise here would
+    kill the Spark task instead of stubbing the row."""
+    import struct as _struct
+
+    buf = encode_jpeg(8, 8, bytes(192))
+    sof = buf.find(b"\xff\xc0")
+    sof_len = _struct.unpack_from(">H", buf, sof + 2)[0]
+    rest = buf[sof + 2 + sof_len:]
+    hdr = buf[sof + 4: sof + 4 + 6]  # precision, h, w, ncomp=3
+    # SOF claims 3 components but carries bytes for only one
+    short_sof = (buf[:sof] + b"\xff\xc0" + _struct.pack(">H", 2 + 6 + 3)
+                 + hdr + buf[sof + 4 + 6: sof + 4 + 9] + rest)
+    assert decode_jpeg(short_sof) is None
+    # empty SOF segment
+    assert decode_jpeg(buf[:sof] + b"\xff\xc0" + _struct.pack(">H", 2) + rest) is None
+    # 12-bit sample precision
+    patched = bytearray(buf)
+    patched[sof + 4] = 12
+    assert decode_jpeg(bytes(patched)) is None
+    # SOS claims 3 scan components but carries one spec
+    sos = buf.find(b"\xff\xda")
+    sos_len = _struct.unpack_from(">H", buf, sos + 2)[0]
+    sos_seg = buf[sos + 4: sos + 2 + sos_len]
+    short_sos = (buf[:sos] + b"\xff\xda" + _struct.pack(">H", 2 + 1 + 2)
+                 + bytes([3]) + sos_seg[1:3] + buf[sos + 2 + sos_len:])
+    assert decode_jpeg(short_sos) is None
+
+
+def test_refused_jpeg_falls_back_to_labeled_stub_in_media_chain():
+    """A progressive JPEG through the one-homed per-row decode chain
+    (decode_media_row) must land on the deterministic stub dims +
+    stub feature — the honest capability boundary — instead of raising."""
+    from openie_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _decode_image_stub,
+        decode_media_row,
+    )
+
+    buf = encode_jpeg(8, 8, bytes([10, 20, 30]) * 64)
+    progressive = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    width, height, duration, feature = decode_media_row("image", progressive)
+    assert (width, height) == _decode_image_stub(progressive)
+    assert duration is None and len(feature) == FEATURE_DIM
+    # and the baseline original still really decodes (8x8, real feature)
+    w2, h2, _, f2 = decode_media_row("image", buf)
+    assert (w2, h2) == (8, 8) and f2 != feature

@@ -606,3 +606,89 @@ def test_stream_dedup_composite_key_keeps_per_lang_survivors(spark, tmp_path):
         (r["lang"], r["text"]) for r in spark.read.parquet(out).collect()
     )
     assert got == [("de", "same words"), ("en", "other words"), ("en", "same words")]
+
+
+def test_kafka_wire_twin_drives_extraction_like_batch(spark, tmp_path):
+    """File-backed mock of the kafka wire protocol: a streaming source
+    emitting the connector's EXACT record schema (KAFKA_WIRE_SCHEMA —
+    key/value bytes + topic/partition/offset/timestamp), decoded by
+    decode_kafka_wire (the entire post-load half of the kafka branch)
+    into the same stateless extract_stage.  Drained triples must equal
+    the batch twin; junk records must drop without poisoning the
+    stream.  Only the jar-provided load() itself stays unexercised."""
+    import datetime
+    import json
+
+    from openie_spark.schemas import DOC_SCHEMA
+    from openie_spark.streaming.ingest import (
+        _RATE_DOC_TEMPLATES,
+        KAFKA_WIRE_SCHEMA,
+        decode_kafka_wire,
+        stream_source,
+    )
+
+    docs = []
+    for i in range(24):
+        spans = []
+        if i % 4 == 0:
+            spans.append(
+                {"kind": "audio", "text": None,
+                 "media_ref": f"wav://kafka/{i}.wav", "offset": 0}
+            )
+        spans.append(
+            {
+                "kind": "text",
+                "text": _RATE_DOC_TEMPLATES[i % len(_RATE_DOC_TEMPLATES)],
+                "media_ref": None,
+                "offset": len(spans),
+            }
+        )
+        docs.append({"doc_id": f"kafka-{i:04d}", "spans": spans})
+
+    values = [json.dumps(d) for d in docs]
+    values.insert(3, "not json at all")  # junk the decoder must drop
+    values.insert(9, json.dumps({"spans": []}))  # no doc_id
+    t0 = datetime.datetime(2026, 1, 1)
+    wire_rows = [
+        (
+            f"k{i}".encode(),  # key bytes (opaque to the decode)
+            v.encode(),
+            "docs-topic",
+            i % 3,  # partition
+            i,  # offset
+            t0 + datetime.timedelta(seconds=i),
+            0,  # timestampType CreateTime
+        )
+        for i, v in enumerate(values)
+    ]
+    wire_dir = tmp_path / "wire"
+    spark.createDataFrame(wire_rows, KAFKA_WIRE_SCHEMA).write.parquet(
+        str(wire_dir)
+    )
+
+    twin = extract_stage(
+        spark.createDataFrame(
+            [(d["doc_id"], [tuple(s.values()) for s in d["spans"]]) for d in docs],
+            DOC_SCHEMA,
+        )
+    )
+    want = sorted(map(repr, twin.collect()))
+    assert want, "batch twin extracted nothing — templates regressed"
+
+    raw = stream_source(
+        spark, "files", schema=KAFKA_WIRE_SCHEMA, path=str(wire_dir)
+    )
+    assert raw.isStreaming
+    triples = extract_stage(decode_kafka_wire(raw))
+    out_dir = tmp_path / "out"
+    q = (
+        triples.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(map(repr, spark.read.parquet(str(out_dir)).collect()))
+    assert got == want
