@@ -10,12 +10,22 @@ end-to-end.  Scope (honest and spec-valid, not a general-purpose decoder):
     spec lets any valid tables ride in the file — emitting our own
     removes any dependence on remembering Annex K byte-for-byte; every
     conforming decoder, including this one, reads tables from DHT).
-  - **Decoder**: baseline sequential (SOF0) only, 8-bit, components with
-    1×1 sampling factors (i.e. no subsampling), tables taken from the
-    stream, 0xFF00 byte-stuffing, EOB/ZRL runs, DC prediction.  Anything
-    else — progressive (SOF2), subsampled 4:2:0, arithmetic coding,
-    restart intervals — returns None and the caller falls back to its
-    labeled stub, exactly like decode_image on an unknown container.
+  - **Decoder**: baseline sequential (SOF0) AND progressive (SOF2) —
+    spectral selection, successive approximation (DC + AC first and
+    refinement scans, EOB runs spanning blocks, buffered correction
+    bits), multi-scan parsing with DHT/DQT between scans — 8-bit,
+    components with 1×1 sampling factors (i.e. no subsampling), tables
+    taken from the stream, 0xFF00 byte-stuffing, EOB/ZRL runs, DC
+    prediction.  Anything else — subsampled 4:2:0, arithmetic coding,
+    lossless/differential frames, restart intervals — returns None and
+    the caller falls back to its labeled stub, exactly like decode_image
+    on an unknown container.
+  - **Progressive encoder** (``encode_jpeg_progressive``): same quantized
+    coefficients as the baseline encoder, emitted as a full scan script
+    (interleaved DC first at Al=1 + DC refinement, then per-component AC
+    first at Al=1 + AC refinement) — so a progressive round-trip must
+    decode BIT-IDENTICAL to the baseline round-trip of the same pixels,
+    which is exactly what the tests pin.
 
 Determinism contract: FDCT/IDCT run in float64 through one fixed 8×8
 DCT matrix; quantization is floor(x/q + 0.5) with half-away-from-zero
@@ -83,6 +93,17 @@ def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int
 
 _DC_ENC = _canonical_codes(_DC_BITS, _DC_SYMBOLS)
 _AC_ENC = _canonical_codes(_AC_BITS, _AC_SYMBOLS)
+
+# Progressive AC table: the baseline symbols PLUS the EOBn codes
+# (run<<4, size 0, run 1..14) progressive EOB runs need.  A SEPARATE
+# table (DHT rides per-stream) so the baseline encoder's bytes — and with
+# them every synthesized media fixture — stay bit-identical.
+_AC_SYMBOLS_P = [0x00, 0xF0] + [run << 4 for run in range(1, 15)] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS_P = [0] * 16
+_AC_BITS_P[7] = len(_AC_SYMBOLS_P)  # 176 codes at length 8 (max 175 < 255)
+_AC_ENC_P = _canonical_codes(_AC_BITS_P, _AC_SYMBOLS_P)
 
 # one fixed DCT-II matrix (float64) drives both transforms
 _C = np.array(
@@ -206,8 +227,10 @@ def _dht_segment(tc: int, th: int, bits: list[int], symbols: list[int]) -> bytes
     return struct.pack(">HH", 0xFFC4, 2 + len(payload)) + payload
 
 
-def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
-    """Top-down RGB bytes → baseline 4:4:4 JFIF JPEG."""
+def _quantize_image(width: int, height: int, rgb: bytes) -> np.ndarray:
+    """RGB bytes → quantized zigzag-order coefficients (3, bh, bw, 64) —
+    the shared front half of both encoders (so a progressive stream
+    carries byte-for-byte the same coefficients as the baseline one)."""
     img = (
         np.frombuffer(rgb, np.uint8)
         .reshape(height, width, 3)
@@ -219,24 +242,60 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     padded[:height, :width] = ycc
     padded[height:, :width] = ycc[height - 1 : height, :]  # edge replicate
     padded[:, width:] = padded[:, width - 1 : width]
-
-    w = _BitWriter()
-    prev_dc = [0, 0, 0]
+    out = np.zeros((3, ph // 8, pw // 8, 64), np.int64)
     for by in range(0, ph, 8):
         for bx in range(0, pw, 8):
             for comp in range(3):
                 block = padded[by : by + 8, bx : bx + 8, comp] - 128.0
                 q = _quantize(_fdct(block))
-                zz = q.reshape(64)[_ZIGZAG]
+                out[comp, by // 8, bx // 8] = q.reshape(64)[_ZIGZAG]
+    return out
+
+
+def _headers(width: int, height: int, sof_marker: int) -> list[bytes]:
+    """SOI..DHT common header segments (SOF0 baseline / SOF2 progressive;
+    the progressive variant writes the EOBn-capable AC tables)."""
+    prog = sof_marker == 0xFFC2
+    ac_bits = _AC_BITS_P if prog else _AC_BITS
+    ac_syms = _AC_SYMBOLS_P if prog else _AC_SYMBOLS
+    qzz = bytes(int(_QTABLE.reshape(64)[z]) for z in _ZIGZAG)
+    return [
+        b"\xff\xd8",  # SOI
+        struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00",
+        struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x00" + qzz,  # DQT id 0
+        struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x01" + qzz,  # DQT id 1
+        # SOF: 8-bit, 3 components, all 1x1 sampling
+        struct.pack(">HHBHHB", sof_marker, 17, 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS),
+        _dht_segment(1, 0, ac_bits, ac_syms),
+        _dht_segment(0, 1, _DC_BITS, _DC_SYMBOLS),
+        _dht_segment(1, 1, ac_bits, ac_syms),
+    ]
+
+
+def _write_magnitude(w: _BitWriter, enc, sym: int, v: int, size: int) -> None:
+    code, length = enc[sym]
+    w.write(code, length)
+    if size:
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+
+
+def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB bytes → baseline 4:4:4 JFIF JPEG."""
+    coefs = _quantize_image(width, height, rgb)
+    _, bh, bw, _ = coefs.shape
+    w = _BitWriter()
+    prev_dc = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(3):
+                zz = coefs[comp, by, bx]
                 # DC
                 diff = int(zz[0]) - prev_dc[comp]
                 prev_dc[comp] = int(zz[0])
                 size = _size_cat(diff)
-                code, length = _DC_ENC[size]
-                w.write(code, length)
-                if size:
-                    v = diff if diff >= 0 else diff + (1 << size) - 1
-                    w.write(v, size)
+                _write_magnitude(w, _DC_ENC, size, diff, size)
                 # AC
                 run = 0
                 last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
@@ -254,32 +313,177 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
                         w.write(code, length)
                         run -= 16
                     size = _size_cat(v)
-                    code, length = _AC_ENC[(run << 4) | size]
-                    w.write(code, length)
-                    vv = v if v >= 0 else v + (1 << size) - 1
-                    w.write(vv, size)
+                    _write_magnitude(w, _AC_ENC, (run << 4) | size, v, size)
                     run = 0
-    entropy = w.flush()
-
-    qzz = bytes(int(_QTABLE.reshape(64)[z]) for z in _ZIGZAG)
-    out = [
-        b"\xff\xd8",  # SOI
-        struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00",
-        struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x00" + qzz,  # DQT id 0
-        struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x01" + qzz,  # DQT id 1
-        # SOF0: 8-bit, 3 components, all 1x1 sampling
-        struct.pack(">HHBHHB", 0xFFC0, 17, 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-        _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS),
-        _dht_segment(1, 0, _AC_BITS, _AC_SYMBOLS),
-        _dht_segment(0, 1, _DC_BITS, _DC_SYMBOLS),
-        _dht_segment(1, 1, _AC_BITS, _AC_SYMBOLS),
+    out = _headers(width, height, 0xFFC0)
+    out += [
         # SOS: 3 components; luma uses tables (0,0), chroma (1,1)
         struct.pack(">HHB", 0xFFDA, 12, 3)
         + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
-        entropy,
+        w.flush(),
         b"\xff\xd9",  # EOI
     ]
+    return b"".join(out)
+
+
+def _sos_segment(comps: list[tuple[int, int]], ss: int, se: int, ah: int, al: int) -> bytes:
+    """comps = [(component id, table-selector byte), ...]."""
+    ns = len(comps)
+    body = bytes([ns])
+    for cid, tsel in comps:
+        body += bytes([cid, tsel])
+    body += bytes([ss, se, (ah << 4) | al])
+    return struct.pack(">HH", 0xFFDA, 2 + len(body)) + body
+
+
+class _EobState:
+    """Cross-block EOB-run + buffered-correction-bit state for one
+    progressive AC scan (the encoder mirror of the decoder's eobrun)."""
+
+    def __init__(self, w: _BitWriter, enc) -> None:
+        self.w = w
+        self.enc = enc
+        self.eobrun = 0
+        self.pending: list[int] = []  # correction bits riding the EOB run
+
+    def flush(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            code, length = self.enc[nbits << 4]
+            self.w.write(code, length)
+            if nbits:
+                self.w.write(self.eobrun - (1 << nbits), nbits)
+            self.eobrun = 0
+        for b in self.pending:
+            self.w.write(b, 1)
+        self.pending = []
+
+
+def _encode_ac_first(coefs_c, w: _BitWriter, enc, ss: int, se: int, al: int) -> None:
+    """AC first pass (Ah=0): magnitudes point-transformed by |v| >> Al,
+    EOB runs spanning blocks."""
+    bh, bw = coefs_c.shape[0], coefs_c.shape[1]
+    st = _EobState(w, enc)
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coefs_c[by, bx]
+            run = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                mag = abs(v) >> al
+                if mag == 0:
+                    run += 1
+                    continue
+                st.flush()
+                while run > 15:
+                    code, length = enc[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                size = mag.bit_length()
+                _write_magnitude(
+                    w, enc, (run << 4) | size, mag if v >= 0 else -mag, size
+                )
+                run = 0
+            if run > 0:
+                st.eobrun += 1
+                if st.eobrun == 0x7FFF:
+                    st.flush()
+    st.flush()
+
+
+def _encode_ac_refine(coefs_c, w: _BitWriter, enc, ss: int, se: int, ah: int, al: int) -> None:
+    """AC refinement (Ah=Al+1): newly-significant ±1-at-Al coefficients
+    positioned by zero-HISTORY runs; correction bits for already-nonzero
+    coefficients buffered and emitted after the covering symbol."""
+    bh, bw = coefs_c.shape[0], coefs_c.shape[1]
+    st = _EobState(w, enc)
+    for by in range(bh):
+        for bx in range(bw):
+            zz = coefs_c[by, bx]
+            mags = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+            eob = 0  # index past the last newly-significant coefficient
+            for i, m in enumerate(mags):
+                if m == 1 and (abs(int(zz[ss + i])) >> ah) == 0:
+                    eob = i + 1
+            run = 0
+            br: list[int] = []
+            for i, m in enumerate(mags):
+                if m == 0:
+                    run += 1
+                    continue
+                while run > 15 and i < eob:
+                    st.flush()
+                    code, length = enc[0xF0]  # ZRL
+                    w.write(code, length)
+                    run -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if (abs(int(zz[ss + i])) >> ah) != 0:
+                    br.append(m & 1)  # history-nonzero: correction bit
+                    continue
+                # newly significant (m == 1 by construction)
+                st.flush()
+                code, length = enc[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if int(zz[ss + i]) >= 0 else 0, 1)
+                run = 0
+                for b in br:
+                    w.write(b, 1)
+                br = []
+            if run > 0 or br:
+                st.eobrun += 1
+                st.pending += br
+                if st.eobrun == 0x7FFF:
+                    st.flush()
+    st.flush()
+
+
+def encode_jpeg_progressive(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB bytes → progressive (SOF2) 4:4:4 JFIF JPEG carrying
+    the SAME quantized coefficients as ``encode_jpeg``, emitted as a
+    full scan script that exercises every progressive decode path:
+    interleaved DC first at Al=1 → DC refinement, then per component an
+    AC 1..63 first pass at Al=1 → AC refinement — so decoding must be
+    bit-identical to decoding the baseline stream (test-pinned)."""
+    coefs = _quantize_image(width, height, rgb)
+    _, bh, bw, _ = coefs.shape
+    out = _headers(width, height, 0xFFC2)
+
+    # scan 1: DC first, all components interleaved, Al=1
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(3):
+                dc = int(coefs[comp, by, bx, 0]) >> 1  # arithmetic shift
+                diff = dc - prev[comp]
+                prev[comp] = dc
+                size = _size_cat(diff)
+                _write_magnitude(w, _DC_ENC, size, diff, size)
+    out += [_sos_segment([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1), w.flush()]
+
+    # scan 2: DC refinement, Ah=1 Al=0 — one raw bit per block
+    w = _BitWriter()
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(3):
+                w.write(int(coefs[comp, by, bx, 0]) & 1, 1)
+    out += [_sos_segment([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0), w.flush()]
+
+    # scans 3-5: per-component AC first pass (band 1..63, Al=1)
+    for comp, cid in ((0, 1), (1, 2), (2, 3)):
+        w = _BitWriter()
+        _encode_ac_first(coefs[comp], w, _AC_ENC_P, 1, 63, 1)
+        out += [_sos_segment([(cid, 0x00 if comp == 0 else 0x01)], 1, 63, 0, 1), w.flush()]
+
+    # scans 6-8: per-component AC refinement (Ah=1, Al=0)
+    for comp, cid in ((0, 1), (1, 2), (2, 3)):
+        w = _BitWriter()
+        _encode_ac_refine(coefs[comp], w, _AC_ENC_P, 1, 63, 1, 0)
+        out += [_sos_segment([(cid, 0x00 if comp == 0 else 0x01)], 1, 63, 1, 0), w.flush()]
+
+    out.append(b"\xff\xd9")  # EOI
     return b"".join(out)
 
 
@@ -310,24 +514,228 @@ def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int | None
     return None
 
 
+def _entropy_end(data: bytes, start: int) -> int | None:
+    """Index of the first real marker after ``start`` (skipping stuffed
+    0xFF00 pairs) — the end of one scan's entropy-coded segment."""
+    i = start
+    while True:
+        j = data.find(b"\xff", i)
+        if j < 0 or j + 1 >= len(data):
+            return None
+        if data[j + 1] == 0x00:
+            i = j + 2
+            continue
+        return j
+
+
+def _decode_baseline_scan(coefs, scan, htables, r) -> bool:
+    """One full-band interleaved scan → zigzag coefficient arrays."""
+    _, bh, bw, _ = coefs.shape
+    prev_dc = [0] * coefs.shape[0]
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, dc_id, ac_id in scan:
+                dct = htables.get((0, dc_id))
+                act = htables.get((1, ac_id))
+                if dct is None or act is None:
+                    return False
+                size = _read_symbol(r, dct)
+                if size is None or size > 11:
+                    return False
+                diff = 0
+                if size:
+                    v = r.read(size)
+                    if v is None:
+                        return False
+                    diff = _extend(v, size)
+                prev_dc[ci] += diff
+                zz = coefs[ci, by, bx]
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(r, act)
+                    if sym is None:
+                        return False
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if sym != 0xF0:
+                            return False
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        return False
+                    v = r.read(size)
+                    if v is None:
+                        return False
+                    zz[k] = _extend(v, size)
+                    k += 1
+    return True
+
+
+def _ac_first_block(block, r, act, ss, se, al, eobrun) -> int | None:
+    """Progressive AC first-pass (Ah=0) for one block; returns the new
+    EOB-run count (blocks this code already covers) or None on error."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _read_symbol(r, act)
+        if sym is None:
+            return None
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run == 15:
+                k += 16  # ZRL
+                continue
+            eb = r.read(run) if run else 0
+            if eb is None:
+                return None
+            return (1 << run) - 1 + eb  # EOBn: current block consumed
+        k += run
+        if k > se:
+            return None
+        v = r.read(size)
+        if v is None:
+            return None
+        block[k] = _extend(v, size) << al
+        k += 1
+    return 0
+
+
+def _refine_nonzero(block, r, k, al) -> bool:
+    """Append one correction bit to an already-nonzero coefficient."""
+    p1 = 1 << al
+    bit = r.read(1)
+    if bit is None:
+        return False
+    if bit and (int(block[k]) & p1) == 0:
+        block[k] += p1 if block[k] >= 0 else -p1
+    return True
+
+
+def _ac_refine_block(block, r, act, ss, se, al, eobrun) -> int | None:
+    """Progressive AC refinement (Ah>0) for one block; the T.81 G.1.2.3
+    flow: new ±1-at-Al coefficients positioned by zero-HISTORY run
+    lengths, correction bits interleaved on every nonzero-history
+    position passed, EOB runs refining the band remainder."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _read_symbol(r, act)
+            if sym is None:
+                return None
+            run, size = sym >> 4, sym & 0x0F
+            val = 0
+            if size == 0:
+                if run != 15:  # EOBn (ZRL handled by the advance loop)
+                    eb = r.read(run) if run else 0
+                    if eb is None:
+                        return None
+                    eobrun = (1 << run) + eb
+                    break
+            else:
+                if size != 1:
+                    return None  # refinement codes only ±1 new values
+                bit = r.read(1)
+                if bit is None:
+                    return None
+                val = p1 if bit else -p1
+            while k <= se:
+                if block[k] != 0:
+                    if not _refine_nonzero(block, r, k, al):
+                        return None
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if val and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if block[k] != 0 and not _refine_nonzero(block, r, k, al):
+                return None
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(coefs, scan, ss, se, ah, al, htables, r, dc_pred) -> bool:
+    _, bh, bw, _ = coefs.shape
+    if ss == 0:  # DC scan (first or refinement), interleaved
+        if se != 0:
+            return False
+        for by in range(bh):
+            for bx in range(bw):
+                for ci, dc_id, _ in scan:
+                    if ah == 0:
+                        dct = htables.get((0, dc_id))
+                        if dct is None:
+                            return False
+                        size = _read_symbol(r, dct)
+                        if size is None or size > 11:
+                            return False
+                        diff = 0
+                        if size:
+                            v = r.read(size)
+                            if v is None:
+                                return False
+                            diff = _extend(v, size)
+                        dc_pred[ci] += diff
+                        coefs[ci, by, bx, 0] = dc_pred[ci] << al
+                    else:  # refinement: one raw bit per block
+                        bit = r.read(1)
+                        if bit is None:
+                            return False
+                        if bit:
+                            coefs[ci, by, bx, 0] |= 1 << al
+        return True
+    # AC scan: exactly one component, band inside 1..63
+    if len(scan) != 1 or ss > se or se > 63:
+        return False
+    ci, _, ac_id = scan[0]
+    act = htables.get((1, ac_id))
+    if act is None:
+        return False
+    eobrun = 0
+    step = _ac_first_block if ah == 0 else _ac_refine_block
+    for by in range(bh):
+        for bx in range(bw):
+            eobrun = step(coefs[ci, by, bx], r, act, ss, se, al, eobrun)
+            if eobrun is None:
+                return False
+    return True
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
-    """Baseline 4:4:4 JPEG bytes → (width, height, top-down RGB) or None
-    for any unsupported flavor (progressive, subsampled, restart
-    intervals, non-8-bit)."""
+    """Baseline (SOF0) or progressive (SOF2) 4:4:4 JPEG bytes →
+    (width, height, top-down RGB) or None for any unsupported flavor
+    (subsampled, arithmetic-coded, lossless/differential frames,
+    restart intervals, non-8-bit)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
+    progressive = False
     comps: list[tuple[int, int]] = []  # (component id, qtable id)
-    scan: list[tuple[int, int, int]] = []  # (comp index, dc table, ac table)
+    # (scan comps, Ss, Se, Ah, Al, entropy bytes) per SOS
+    scans: list[tuple[list, int, int, int, int, bytes]] = []
     pos = 2
-    entropy_start = None
-    while pos + 4 <= len(data):
+    saw_eoi = False
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
-        if marker == 0xD9:  # EOI without a scan
+        if marker == 0xD9:  # EOI
+            saw_eoi = True
+            break
+        if pos + 4 > len(data):
             return None
         (seglen,) = struct.unpack_from(">H", data, pos + 2)
         seg = data[pos + 4 : pos + 2 + seglen]
@@ -346,12 +754,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
                 q[_ZIGZAG] = vals
                 qtables[tid] = q.reshape(8, 8)
                 sp += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             # malformed-but-self-consistent segment lengths must refuse,
             # not raise: a crafted short SOF would otherwise throw out of
             # the slice unpack and kill the task instead of stubbing
-            if len(seg) < 6 or seg[0] != 8:
+            if width is not None or len(seg) < 6 or seg[0] != 8:
                 return None
+            progressive = marker == 0xC2
             height, width = struct.unpack_from(">HH", seg, 1)
             ncomp = seg[5]
             if ncomp not in (1, 3) or len(seg) < 6 + 3 * ncomp:
@@ -363,10 +772,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
                     return None  # subsampling: unsupported
                 comps.append((cid, qid))
         elif marker in (
-            0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
         ):
-            return None  # non-baseline SOF flavors (incl. differential)
+            return None  # non-baseline/progressive SOF flavors
         elif marker == 0xC4:  # DHT (possibly several tables)
             sp = 0
             while sp + 17 <= len(seg):
@@ -384,7 +793,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
             if not seg:
                 return None
             ns = seg[0]
-            if width is None or ns != len(comps) or len(seg) < 1 + 2 * ns:
+            if width is None or ns < 1 or len(seg) < 1 + 2 * ns + 3:
+                return None
+            if not progressive and ns != len(comps):
                 return None
             scan = []
             for c in range(ns):
@@ -393,66 +804,53 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
                 if idx is None:
                     return None
                 scan.append((idx, tsel >> 4, tsel & 0x0F))
+            band = seg[1 + 2 * ns : 4 + 2 * ns]
             entropy_start = pos + 2 + seglen
-            break
+            end = _entropy_end(data, entropy_start)
+            if end is None:
+                return None
+            scans.append(
+                (scan, band[0], band[1], band[2] >> 4, band[2] & 0x0F,
+                 data[entropy_start:end])
+            )
+            pos = end
+            continue
         pos += 2 + seglen
-    if entropy_start is None or width is None or not comps:
+    if not saw_eoi or width is None or not comps or not scans:
         return None
 
-    # entropy data runs to the EOI marker
-    end = data.rfind(b"\xff\xd9")
-    if end < entropy_start:
-        return None
-    r = _BitReader(data[entropy_start:end])
-    ph, pw = -(-height // 8) * 8, -(-width // 8) * 8
+    bh, bw = -(-height // 8), -(-width // 8)
     ncomp = len(comps)
-    planes = np.zeros((ph, pw, ncomp))
-    prev_dc = [0] * ncomp
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            for ci, dc_id, ac_id in scan:
-                dct = htables.get((0, dc_id))
-                act = htables.get((1, ac_id))
-                qt = qtables.get(comps[ci][1])
-                if dct is None or act is None or qt is None:
-                    return None
-                size = _read_symbol(r, dct)
-                if size is None or size > 11:
-                    return None
-                diff = 0
-                if size:
-                    v = r.read(size)
-                    if v is None:
-                        return None
-                    diff = _extend(v, size)
-                prev_dc[ci] += diff
-                zz = np.zeros(64, np.int64)
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(r, act)
-                    if sym is None:
-                        return None
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if sym != 0xF0:
-                            return None
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return None
-                    v = r.read(size)
-                    if v is None:
-                        return None
-                    zz[k] = _extend(v, size)
-                    k += 1
+    coefs = np.zeros((ncomp, bh, bw, 64), np.int64)  # zigzag order
+    if not progressive:
+        scan, ss, se, ah, al, ent = scans[0]
+        if len(scans) != 1 or (ss, se, ah, al) != (0, 63, 0, 0):
+            return None
+        if not _decode_baseline_scan(coefs, scan, htables, _BitReader(ent)):
+            return None
+    else:
+        dc_pred = [0] * ncomp
+        for scan, ss, se, ah, al, ent in scans:
+            if ss == 0 and ah == 0:
+                for ci, _, _ in scan:
+                    dc_pred[ci] = 0
+            if not _decode_progressive_scan(
+                coefs, scan, ss, se, ah, al, htables, _BitReader(ent), dc_pred
+            ):
+                return None
+
+    planes = np.zeros((bh * 8, bw * 8, ncomp))
+    for ci in range(ncomp):
+        qt = qtables.get(comps[ci][1])
+        if qt is None:
+            return None
+        for by in range(bh):
+            for bx in range(bw):
                 coef = np.zeros(64, np.int64)
-                coef[_ZIGZAG] = zz
-                block = _idct(coef.reshape(8, 8) * qt) + 128.0
-                planes[by : by + 8, bx : bx + 8, ci] = block
+                coef[_ZIGZAG] = coefs[ci, by, bx]
+                planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = (
+                    _idct(coef.reshape(8, 8) * qt) + 128.0
+                )
     planes = planes[:height, :width]
     if ncomp == 1:
         rgb = np.repeat(planes, 3, axis=-1)

@@ -1,12 +1,17 @@
-"""Baseline JPEG codec (functions/jpegcodec.py): round-trip error bounds,
-hand-computable flat blocks, marker/unsupported-flavor refusals, and the
+"""JPEG codec (functions/jpegcodec.py): baseline round-trip error bounds,
+hand-computable flat blocks, progressive (SOF2) decode pinned
+bit-identical to baseline, marker/unsupported-flavor refusals, and the
 decode_image dispatch."""
 
 from __future__ import annotations
 
 import numpy as np
 
-from openie_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+from openie_spark.functions.jpegcodec import (
+    decode_jpeg,
+    encode_jpeg,
+    encode_jpeg_progressive,
+)
 
 
 def _rt(w, h, rgb: bytes):
@@ -70,7 +75,9 @@ def test_refusals():
     assert decode_jpeg(b"") is None
     assert decode_jpeg(b"\x00\x01") is None
     buf = encode_jpeg(8, 8, bytes(8 * 8 * 3))
-    # progressive SOF2 refused
+    # a baseline stream relabeled SOF2 is MALFORMED progressive (its one
+    # scan spans Ss=0..Se=63; progressive DC scans must have Se=0) — the
+    # decoder supports real SOF2 but must refuse this scan script
     assert decode_jpeg(buf.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
     # truncated entropy data refused
     assert decode_jpeg(buf[: len(buf) // 2]) is None
@@ -174,13 +181,15 @@ def test_refusals_dri_and_16bit_dqt():
     assert decode_jpeg(bytes(patched)) is None
 
 
-def test_refusals_all_nonbaseline_sof_flavors():
-    """Every non-SOF0 frame marker — extended sequential, progressive,
+def test_refusals_all_unsupported_sof_flavors():
+    """Every frame marker outside SOF0/SOF2 — extended sequential,
     lossless, differential, and all arithmetic-coded flavors — must
     refuse (None), never raise: refused images fall back to the labeled
-    stub in the media pipeline."""
+    stub in the media pipeline.  (0xC2 progressive is now SUPPORTED and
+    covered by the round-trip tests; a baseline stream relabeled 0xC2
+    still refuses as a malformed scan script — see test_refusals.)"""
     buf = encode_jpeg(8, 8, bytes([90, 100, 110]) * 64)
-    for sof in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+    for sof in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
         assert decode_jpeg(buf.replace(b"\xff\xc0", bytes([0xFF, sof]), 1)) is None, hex(sof)
 
@@ -216,9 +225,11 @@ def test_refusals_structured_malformations_refuse_not_raise():
 
 
 def test_refused_jpeg_falls_back_to_labeled_stub_in_media_chain():
-    """A progressive JPEG through the one-homed per-row decode chain
-    (decode_media_row) must land on the deterministic stub dims +
-    stub feature — the honest capability boundary — instead of raising."""
+    """A REFUSED JPEG (here: a malformed progressive scan script) through
+    the one-homed per-row decode chain (decode_media_row) must land on
+    the deterministic stub dims + stub feature — the honest capability
+    boundary — instead of raising; a REAL progressive JPEG must decode
+    for real, identically to its baseline twin."""
     from openie_spark.operators.multimodal import (
         FEATURE_DIM,
         _decode_image_stub,
@@ -226,10 +237,70 @@ def test_refused_jpeg_falls_back_to_labeled_stub_in_media_chain():
     )
 
     buf = encode_jpeg(8, 8, bytes([10, 20, 30]) * 64)
-    progressive = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    width, height, duration, feature = decode_media_row("image", progressive)
-    assert (width, height) == _decode_image_stub(progressive)
+    malformed = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    width, height, duration, feature = decode_media_row("image", malformed)
+    assert (width, height) == _decode_image_stub(malformed)
     assert duration is None and len(feature) == FEATURE_DIM
-    # and the baseline original still really decodes (8x8, real feature)
+    # the baseline original really decodes (8x8, real feature)
     w2, h2, _, f2 = decode_media_row("image", buf)
     assert (w2, h2) == (8, 8) and f2 != feature
+    # and a REAL progressive stream decodes to the SAME real feature
+    prog = encode_jpeg_progressive(8, 8, bytes([10, 20, 30]) * 64)
+    w3, h3, _, f3 = decode_media_row("image", prog)
+    assert (w3, h3) == (8, 8) and f3 == f2
+
+
+def test_progressive_roundtrip_bit_identical_to_baseline():
+    """encode_jpeg_progressive carries the same quantized coefficients as
+    encode_jpeg, so decoding its 8-scan script (DC first/refine at Al=1,
+    per-component AC first/refine with cross-block EOB runs) must be
+    BIT-IDENTICAL to decoding the baseline stream — across noise (dense
+    coefficients, ZRLs), flat (long EOB runs spanning blocks), gradients,
+    and stripes, at sizes that are and are not multiples of 8."""
+    import random
+
+    rng = random.Random(11)
+    for trial in range(16):
+        w, h = rng.randint(1, 48), rng.randint(1, 48)
+        kind = trial % 4
+        if kind == 0:
+            rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        elif kind == 1:
+            rgb = bytes([rng.randrange(256)] * 3) * (w * h)
+        elif kind == 2:
+            a = np.fromfunction(lambda y, x, c: (x * 7 + y * 5 + c * 40) % 256, (h, w, 3))
+            rgb = a.astype(np.uint8).tobytes()
+        else:
+            a = np.zeros((h, w, 3), np.uint8)
+            a[::2] = 255
+            rgb = a.tobytes()
+        base = decode_jpeg(encode_jpeg(w, h, rgb))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb))
+        assert base is not None and prog == base, (trial, w, h, kind)
+
+
+def test_progressive_scan_script_refusals():
+    """Spec-invalid progressive scan scripts must refuse, not raise:
+    DC scans with Se != 0, AC scans naming more than one component, and
+    refinement symbols coding magnitudes beyond 1."""
+    import struct as _struct
+
+    buf = encode_jpeg_progressive(8, 8, bytes([50, 60, 70]) * 64)
+    # patch the first AC scan's header (Ss=1) to name 2 components: the
+    # scan headers are unique byte strings we can locate directly
+    one_comp_sos = _struct.pack(">HH", 0xFFDA, 2 + 1 + 2 + 3) + bytes(
+        [1, 1, 0x00, 1, 63, 0x01]
+    )
+    assert one_comp_sos in buf
+    two_comp_sos = _struct.pack(">HH", 0xFFDA, 2 + 1 + 4 + 3) + bytes(
+        [2, 1, 0x00, 2, 0x01, 1, 63, 0x01]
+    )
+    patched = buf.replace(one_comp_sos, two_comp_sos, 1)
+    assert decode_jpeg(patched) is None
+    # DC scan with Se=63 (the relabeled-baseline case, pinned directly)
+    dc_sos = _struct.pack(">HH", 0xFFDA, 2 + 1 + 6 + 3) + bytes(
+        [3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]
+    )
+    assert dc_sos in buf
+    bad_dc = dc_sos[:-3] + bytes([0, 63, 0x01])
+    assert decode_jpeg(buf.replace(dc_sos, bad_dc, 1)) is None
