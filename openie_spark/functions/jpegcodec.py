@@ -10,16 +10,23 @@ end-to-end.  Scope (honest and spec-valid, not a general-purpose decoder):
     spec lets any valid tables ride in the file — emitting our own
     removes any dependence on remembering Annex K byte-for-byte; every
     conforming decoder, including this one, reads tables from DHT).
-  - **Decoder**: baseline sequential (SOF0) AND progressive (SOF2) —
-    spectral selection, successive approximation (DC + AC first and
-    refinement scans, EOB runs spanning blocks, buffered correction
-    bits), multi-scan parsing with DHT/DQT between scans — 8-bit,
-    components with 1×1 sampling factors (i.e. no subsampling), tables
-    taken from the stream, 0xFF00 byte-stuffing, EOB/ZRL runs, DC
-    prediction.  Anything else — subsampled 4:2:0, arithmetic coding,
+  - **Decoder**: baseline sequential (SOF0) with per-component sampling
+    factors 1-2 per axis — 4:4:4, 4:2:0, 4:2:2 (MCU-interleaved
+    sub-block rasters, nearest-neighbor chroma upsample) — AND
+    progressive (SOF2, 4:4:4 only): spectral selection, successive
+    approximation (DC + AC first and refinement scans, EOB runs spanning
+    blocks, buffered correction bits), multi-scan parsing with DHT/DQT
+    between scans.  8-bit, tables taken from the stream, 0xFF00
+    byte-stuffing, EOB/ZRL runs, DC prediction.  Anything else —
+    sampling factors above 2, subsampled progressive, arithmetic coding,
     lossless/differential frames, restart intervals — returns None and
     the caller falls back to its labeled stub, exactly like decode_image
     on an unknown container.
+  - **4:2:0 encoder** (``encode_jpeg_420``): luma 2×2 / chroma 1×1 with
+    2×2 box-mean chroma downsampling — exists chiefly to round-trip-test
+    the subsampled decode path (flat content survives the
+    box-mean/replicate pair exactly; the MCU quadrant test pins the
+    interleave order).
   - **Progressive encoder** (``encode_jpeg_progressive``): same quantized
     coefficients as the baseline encoder, emitted as a full scan script
     (interleaved DC first at Al=1 + DC refinement, then per-component AC
@@ -252,7 +259,12 @@ def _quantize_image(width: int, height: int, rgb: bytes) -> np.ndarray:
     return out
 
 
-def _headers(width: int, height: int, sof_marker: int) -> list[bytes]:
+def _headers(
+    width: int,
+    height: int,
+    sof_marker: int,
+    samplings: tuple[int, int, int] = (0x11, 0x11, 0x11),
+) -> list[bytes]:
     """SOI..DHT common header segments (SOF0 baseline / SOF2 progressive;
     the progressive variant writes the EOBn-capable AC tables)."""
     prog = sof_marker == 0xFFC2
@@ -264,9 +276,9 @@ def _headers(width: int, height: int, sof_marker: int) -> list[bytes]:
         struct.pack(">HH", 0xFFE0, 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00",
         struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x00" + qzz,  # DQT id 0
         struct.pack(">HH", 0xFFDB, 2 + 65) + b"\x01" + qzz,  # DQT id 1
-        # SOF: 8-bit, 3 components, all 1x1 sampling
+        # SOF: 8-bit, 3 components
         struct.pack(">HHBHHB", sof_marker, 17, 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+        + bytes([1, samplings[0], 0, 2, samplings[1], 1, 3, samplings[2], 1]),
         _dht_segment(0, 0, _DC_BITS, _DC_SYMBOLS),
         _dht_segment(1, 0, ac_bits, ac_syms),
         _dht_segment(0, 1, _DC_BITS, _DC_SYMBOLS),
@@ -281,6 +293,35 @@ def _write_magnitude(w: _BitWriter, enc, sym: int, v: int, size: int) -> None:
         w.write(v if v >= 0 else v + (1 << size) - 1, size)
 
 
+def _encode_block_entropy(w: _BitWriter, zz, prev_dc: int) -> int:
+    """One baseline block (DC diff + AC runs/EOB) → bitstream; returns
+    the new DC predictor.  Shared verbatim by every baseline encoder
+    flavor so their per-block bytes cannot drift."""
+    diff = int(zz[0]) - prev_dc
+    new_dc = int(zz[0])
+    size = _size_cat(diff)
+    _write_magnitude(w, _DC_ENC, size, diff, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = _AC_ENC[0x00]  # EOB
+                w.write(code, length)
+                break
+            run += 1
+            continue
+        while run > 15:
+            code, length = _AC_ENC[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size = _size_cat(v)
+        _write_magnitude(w, _AC_ENC, (run << 4) | size, v, size)
+        run = 0
+    return new_dc
+
+
 def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     """Top-down RGB bytes → baseline 4:4:4 JFIF JPEG."""
     coefs = _quantize_image(width, height, rgb)
@@ -290,34 +331,69 @@ def encode_jpeg(width: int, height: int, rgb: bytes) -> bytes:
     for by in range(bh):
         for bx in range(bw):
             for comp in range(3):
-                zz = coefs[comp, by, bx]
-                # DC
-                diff = int(zz[0]) - prev_dc[comp]
-                prev_dc[comp] = int(zz[0])
-                size = _size_cat(diff)
-                _write_magnitude(w, _DC_ENC, size, diff, size)
-                # AC
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        if k > last_nz:
-                            code, length = _AC_ENC[0x00]  # EOB
-                            w.write(code, length)
-                            break
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = _AC_ENC[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    size = _size_cat(v)
-                    _write_magnitude(w, _AC_ENC, (run << 4) | size, v, size)
-                    run = 0
+                prev_dc[comp] = _encode_block_entropy(
+                    w, coefs[comp, by, bx], prev_dc[comp]
+                )
     out = _headers(width, height, 0xFFC0)
     out += [
         # SOS: 3 components; luma uses tables (0,0), chroma (1,1)
+        struct.pack(">HHB", 0xFFDA, 12, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+        w.flush(),
+        b"\xff\xd9",  # EOI
+    ]
+    return b"".join(out)
+
+
+def _quantize_plane(plane: np.ndarray) -> np.ndarray:
+    """(H, W) float plane with H, W multiples of 8 → quantized zigzag
+    coefficients (H//8, W//8, 64)."""
+    H, W = plane.shape
+    out = np.zeros((H // 8, W // 8, 64), np.int64)
+    for by in range(0, H, 8):
+        for bx in range(0, W, 8):
+            q = _quantize(_fdct(plane[by : by + 8, bx : bx + 8] - 128.0))
+            out[by // 8, bx // 8] = q.reshape(64)[_ZIGZAG]
+    return out
+
+
+def encode_jpeg_420(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB bytes → baseline 4:2:0 JFIF JPEG (luma 2×2, chroma
+    1×1; chroma downsampled by 2×2 box mean).  The common real-world
+    photo flavor — exists chiefly so the decoder's subsampled MCU
+    interleave + nearest-neighbor upsample path is round-trip-tested
+    against content with known properties (flat regions survive the
+    box-mean/replicate pair exactly)."""
+    img = (
+        np.frombuffer(rgb, np.uint8)
+        .reshape(height, width, 3)
+        .astype(np.float64)
+    )
+    ycc = _rgb_to_ycbcr(img)
+    ph, pw = -(-height // 16) * 16, -(-width // 16) * 16
+    padded = np.empty((ph, pw, 3))
+    padded[:height, :width] = ycc
+    padded[height:, :width] = ycc[height - 1 : height, :]  # edge replicate
+    padded[:, width:] = padded[:, width - 1 : width]
+    yb = _quantize_plane(padded[:, :, 0])
+    csub = padded[:, :, 1:].reshape(ph // 2, 2, pw // 2, 2, 2).mean(axis=(1, 3))
+    cbb = _quantize_plane(csub[:, :, 0])
+    crb = _quantize_plane(csub[:, :, 1])
+
+    w = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(ph // 16):
+        for mx in range(pw // 16):
+            for byy in range(2):  # luma 2×2 sub-blocks, raster order
+                for bxx in range(2):
+                    prev[0] = _encode_block_entropy(
+                        w, yb[2 * my + byy, 2 * mx + bxx], prev[0]
+                    )
+            prev[1] = _encode_block_entropy(w, cbb[my, mx], prev[1])
+            prev[2] = _encode_block_entropy(w, crb[my, mx], prev[2])
+
+    out = _headers(width, height, 0xFFC0, samplings=(0x22, 0x11, 0x11))
+    out += [
         struct.pack(">HHB", 0xFFDA, 12, 3)
         + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
         w.flush(),
@@ -528,50 +604,66 @@ def _entropy_end(data: bytes, start: int) -> int | None:
         return j
 
 
-def _decode_baseline_scan(coefs, scan, htables, r) -> bool:
-    """One full-band interleaved scan → zigzag coefficient arrays."""
-    _, bh, bw, _ = coefs.shape
-    prev_dc = [0] * coefs.shape[0]
-    for by in range(bh):
-        for bx in range(bw):
+def _decode_block(zz, r, dct, act, prev_dc: int) -> int | None:
+    """One baseline block (DC diff + full AC band) into ``zz``; returns
+    the new DC predictor or None on error."""
+    size = _read_symbol(r, dct)
+    if size is None or size > 11:
+        return None
+    diff = 0
+    if size:
+        v = r.read(size)
+        if v is None:
+            return None
+        diff = _extend(v, size)
+    prev_dc += diff
+    zz[0] = prev_dc
+    k = 1
+    while k < 64:
+        sym = _read_symbol(r, act)
+        if sym is None:
+            return None
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if sym != 0xF0:
+                return None
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            return None
+        v = r.read(size)
+        if v is None:
+            return None
+        zz[k] = _extend(v, size)
+        k += 1
+    return prev_dc
+
+
+def _decode_baseline_scan(coefs, comps, scan, htables, r, mcuy, mcux) -> bool:
+    """One full-band interleaved scan → per-component zigzag coefficient
+    arrays, MCU order with per-component h×v sub-block rasters (T.81
+    A.2.3) — 1×1 everywhere degenerates to the plain block raster."""
+    prev_dc = [0] * len(coefs)
+    for my in range(mcuy):
+        for mx in range(mcux):
             for ci, dc_id, ac_id in scan:
                 dct = htables.get((0, dc_id))
                 act = htables.get((1, ac_id))
                 if dct is None or act is None:
                     return False
-                size = _read_symbol(r, dct)
-                if size is None or size > 11:
-                    return False
-                diff = 0
-                if size:
-                    v = r.read(size)
-                    if v is None:
-                        return False
-                    diff = _extend(v, size)
-                prev_dc[ci] += diff
-                zz = coefs[ci, by, bx]
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = _read_symbol(r, act)
-                    if sym is None:
-                        return False
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if sym != 0xF0:
+                _, h, v, _ = comps[ci]
+                for byy in range(v):
+                    for bxx in range(h):
+                        dc = _decode_block(
+                            coefs[ci][my * v + byy, mx * h + bxx],
+                            r, dct, act, prev_dc[ci],
+                        )
+                        if dc is None:
                             return False
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        return False
-                    v = r.read(size)
-                    if v is None:
-                        return False
-                    zz[k] = _extend(v, size)
-                    k += 1
+                        prev_dc[ci] = dc
     return True
 
 
@@ -666,7 +758,9 @@ def _ac_refine_block(block, r, act, ss, se, al, eobrun) -> int | None:
 
 
 def _decode_progressive_scan(coefs, scan, ss, se, ah, al, htables, r, dc_pred) -> bool:
-    _, bh, bw, _ = coefs.shape
+    # progressive support is 1×1-sampling only, so every component grid
+    # has identical dims (checked by the caller)
+    bh, bw, _ = coefs[0].shape
     if ss == 0:  # DC scan (first or refinement), interleaved
         if se != 0:
             return False
@@ -687,13 +781,13 @@ def _decode_progressive_scan(coefs, scan, ss, se, ah, al, htables, r, dc_pred) -
                                 return False
                             diff = _extend(v, size)
                         dc_pred[ci] += diff
-                        coefs[ci, by, bx, 0] = dc_pred[ci] << al
+                        coefs[ci][by, bx, 0] = dc_pred[ci] << al
                     else:  # refinement: one raw bit per block
                         bit = r.read(1)
                         if bit is None:
                             return False
                         if bit:
-                            coefs[ci, by, bx, 0] |= 1 << al
+                            coefs[ci][by, bx, 0] |= 1 << al
         return True
     # AC scan: exactly one component, band inside 1..63
     if len(scan) != 1 or ss > se or se > 63:
@@ -706,24 +800,27 @@ def _decode_progressive_scan(coefs, scan, ss, se, ah, al, htables, r, dc_pred) -
     step = _ac_first_block if ah == 0 else _ac_refine_block
     for by in range(bh):
         for bx in range(bw):
-            eobrun = step(coefs[ci, by, bx], r, act, ss, se, al, eobrun)
+            eobrun = step(coefs[ci][by, bx], r, act, ss, se, al, eobrun)
             if eobrun is None:
                 return False
     return True
 
 
 def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
-    """Baseline (SOF0) or progressive (SOF2) 4:4:4 JPEG bytes →
-    (width, height, top-down RGB) or None for any unsupported flavor
-    (subsampled, arithmetic-coded, lossless/differential frames,
-    restart intervals, non-8-bit)."""
+    """Baseline (SOF0, sampling factors 1-2 per axis — 4:4:4, 4:2:0,
+    4:2:2) or progressive (SOF2, 4:4:4) JPEG bytes → (width, height,
+    top-down RGB) or None for any unsupported flavor (sampling factors
+    above 2, subsampled progressive, arithmetic-coded,
+    lossless/differential frames, restart intervals, non-8-bit).
+    Chroma upsampling is nearest-neighbor replication (the exact inverse
+    of encode_jpeg_420's box mean on flat content)."""
     if len(data) < 4 or data[:2] != b"\xff\xd8":
         return None
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     progressive = False
-    comps: list[tuple[int, int]] = []  # (component id, qtable id)
+    comps: list[tuple[int, int, int, int]] = []  # (comp id, h, v, qtable id)
     # (scan comps, Ss, Se, Ah, Al, entropy bytes) per SOS
     scans: list[tuple[list, int, int, int, int, bytes]] = []
     pos = 2
@@ -768,9 +865,10 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
             comps = []
             for c in range(ncomp):
                 cid, sampling, qid = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
-                    return None  # subsampling: unsupported
-                comps.append((cid, qid))
+                h, v = sampling >> 4, sampling & 0x0F
+                if h not in (1, 2) or v not in (1, 2):
+                    return None  # sampling factors above 2: unsupported
+                comps.append((cid, h, v, qid))
         elif marker in (
             0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -800,7 +898,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
             scan = []
             for c in range(ns):
                 cid, tsel = seg[1 + 2 * c], seg[2 + 2 * c]
-                idx = next((i for i, (k, _) in enumerate(comps) if k == cid), None)
+                idx = next(
+                    (i for i, c4 in enumerate(comps) if c4[0] == cid), None
+                )
                 if idx is None:
                     return None
                 scan.append((idx, tsel >> 4, tsel & 0x0F))
@@ -819,16 +919,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
     if not saw_eoi or width is None or not comps or not scans:
         return None
 
-    bh, bw = -(-height // 8), -(-width // 8)
     ncomp = len(comps)
-    coefs = np.zeros((ncomp, bh, bw, 64), np.int64)  # zigzag order
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    # per-component MCU-padded block grids (all equal when 1×1 everywhere)
+    coefs = [
+        np.zeros((mcuy * v, mcux * h, 64), np.int64) for _, h, v, _ in comps
+    ]
     if not progressive:
         scan, ss, se, ah, al, ent = scans[0]
         if len(scans) != 1 or (ss, se, ah, al) != (0, 63, 0, 0):
             return None
-        if not _decode_baseline_scan(coefs, scan, htables, _BitReader(ent)):
+        if not _decode_baseline_scan(
+            coefs, comps, scan, htables, _BitReader(ent), mcuy, mcux
+        ):
             return None
     else:
+        if hmax != 1 or vmax != 1:
+            return None  # progressive support is 4:4:4 only
         dc_pred = [0] * ncomp
         for scan, ss, se, ah, al, ent in scans:
             if ss == 0 and ah == 0:
@@ -839,18 +949,26 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
             ):
                 return None
 
-    planes = np.zeros((bh * 8, bw * 8, ncomp))
-    for ci in range(ncomp):
-        qt = qtables.get(comps[ci][1])
+    planes = np.zeros((mcuy * vmax * 8, mcux * hmax * 8, ncomp))
+    for ci, (_, h, v, qid) in enumerate(comps):
+        qt = qtables.get(qid)
         if qt is None:
             return None
-        for by in range(bh):
-            for bx in range(bw):
+        bh_c, bw_c = coefs[ci].shape[0], coefs[ci].shape[1]
+        plane = np.zeros((bh_c * 8, bw_c * 8))
+        for by in range(bh_c):
+            for bx in range(bw_c):
                 coef = np.zeros(64, np.int64)
-                coef[_ZIGZAG] = coefs[ci, by, bx]
-                planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = (
+                coef[_ZIGZAG] = coefs[ci][by, bx]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
                     _idct(coef.reshape(8, 8) * qt) + 128.0
                 )
+        # nearest-neighbor chroma upsample back to full resolution
+        if v != vmax:
+            plane = np.repeat(plane, vmax // v, axis=0)
+        if h != hmax:
+            plane = np.repeat(plane, hmax // h, axis=1)
+        planes[:, :, ci] = plane[: planes.shape[0], : planes.shape[1]]
     planes = planes[:height, :width]
     if ncomp == 1:
         rgb = np.repeat(planes, 3, axis=-1)

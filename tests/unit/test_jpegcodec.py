@@ -81,7 +81,9 @@ def test_refusals():
     assert decode_jpeg(buf.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
     # truncated entropy data refused
     assert decode_jpeg(buf[: len(buf) // 2]) is None
-    # subsampled SOF refused: patch luma sampling factor 0x11 -> 0x22
+    # relabeling a 4:4:4 stream's luma as 2x2-sampled makes the entropy
+    # data too short for the claimed MCU structure (6 blocks/MCU vs the 3
+    # that were coded) — must refuse, not mis-decode
     sof = buf.find(b"\xff\xc0")
     patched = bytearray(buf)
     patched[sof + 11] = 0x22  # component 1 h/v factors
@@ -304,3 +306,78 @@ def test_progressive_scan_script_refusals():
     assert dc_sos in buf
     bad_dc = dc_sos[:-3] + bytes([0, 63, 0x01])
     assert decode_jpeg(buf.replace(dc_sos, bad_dc, 1)) is None
+
+
+def test_420_flat_color_round_trips_exactly():
+    """4:2:0: flat color survives the box-mean downsample + nearest
+    replicate upsample exactly; only quantization (sub-LSB here) remains."""
+    from openie_spark.functions.jpegcodec import encode_jpeg_420
+
+    for color in ((128, 128, 128), (200, 30, 90), (0, 255, 0)):
+        rgb = bytes(color) * (24 * 24)
+        out = decode_jpeg(encode_jpeg_420(24, 24, rgb))
+        assert out is not None and out[:2] == (24, 24)
+        got = np.frombuffer(out[2], np.uint8).astype(int)
+        want = np.frombuffer(rgb, np.uint8).astype(int)
+        assert np.abs(got - want).max() <= 1, color
+
+
+def test_420_mcu_ordering_via_quadrants():
+    """Four flat 16x16 quadrants = one color per MCU: any error in the
+    Y00/Y01/Y10/Y11/Cb/Cr interleave order or the chroma block placement
+    scrambles a quadrant — interiors must decode near-exact in place."""
+    from openie_spark.functions.jpegcodec import encode_jpeg_420
+
+    q = np.zeros((32, 32, 3), np.uint8)
+    q[:16, :16] = (255, 0, 0)
+    q[:16, 16:] = (0, 255, 0)
+    q[16:, :16] = (0, 0, 255)
+    q[16:, 16:] = (255, 255, 0)
+    out = decode_jpeg(encode_jpeg_420(32, 32, q.tobytes()))
+    assert out is not None
+    d = np.frombuffer(out[2], np.uint8).reshape(32, 32, 3).astype(int)
+    quads = (
+        (slice(2, 14), slice(2, 14), (255, 0, 0)),
+        (slice(2, 14), slice(18, 30), (0, 255, 0)),
+        (slice(18, 30), slice(2, 14), (0, 0, 255)),
+        (slice(18, 30), slice(18, 30), (255, 255, 0)),
+    )
+    for ys, xs, c in quads:
+        assert np.abs(d[ys, xs] - np.array(c)).max() <= 1, c
+
+
+def test_420_luma_gradient_constant_chroma_near_exact():
+    from openie_spark.functions.jpegcodec import encode_jpeg_420
+
+    a = np.zeros((32, 32, 3), np.uint8)
+    for y in range(32):
+        a[y, :, :] = y * 8
+    out = decode_jpeg(encode_jpeg_420(32, 32, a.tobytes()))
+    got = np.frombuffer(out[2], np.uint8).astype(int)
+    assert np.abs(got - a.astype(int).ravel()).max() <= 1
+
+
+def test_420_odd_sizes_round_trip():
+    """Dims that are not MCU (16) multiples — incl. 1x1 — must pad,
+    code, and crop back to the exact requested size."""
+    import random
+
+    from openie_spark.functions.jpegcodec import encode_jpeg_420
+
+    rng = random.Random(9)
+    for w, h in ((17, 9), (1, 1), (16, 16), (15, 31), (33, 2)):
+        rgb = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        out = decode_jpeg(encode_jpeg_420(w, h, rgb))
+        assert out is not None and out[:2] == (w, h), (w, h)
+
+
+def test_sampling_factors_above_two_still_refused():
+    from openie_spark.functions.jpegcodec import encode_jpeg_420
+
+    buf = encode_jpeg_420(16, 16, bytes([70, 80, 90]) * 256)
+    sof = buf.find(b"\xff\xc0")
+    patched = bytearray(buf)
+    patched[sof + 11] = 0x41  # luma h=4: beyond the supported 1-2 range
+    assert decode_jpeg(bytes(patched)) is None
+    # progressive + subsampling is refused (baseline-only support)
+    assert decode_jpeg(buf.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
