@@ -199,21 +199,71 @@ def _png_unfilter(raw: np.ndarray, h: int, rowbytes: int, bpp: int) -> np.ndarra
     return out.astype(np.uint8)
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass, spec order.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+# color type → (channels, valid bit depths)
+_PNG_COLORS = {
+    0: (1, (1, 2, 4, 8, 16)),  # greyscale
+    2: (3, (8, 16)),           # RGB
+    3: (1, (1, 2, 4, 8)),      # palette indices
+    4: (2, (8, 16)),           # grey + alpha
+    6: (4, (8, 16)),           # RGBA
+}
+
+
+def _png_samples(
+    raster: bytes, off: int, w: int, h: int, channels: int, depth: int
+) -> tuple[int, np.ndarray]:
+    """Consume one (sub)image of filtered scanlines starting at ``off``;
+    returns (next offset, (h, w, channels) samples — bytes for depth 8,
+    high bytes for 16, raw small values for sub-8-bit).  Raises
+    ValueError on truncation (caught by decode_png's refusal wrapper)."""
+    row_samples = w * channels
+    rowbytes = (row_samples * depth + 7) // 8
+    bpp = max(1, (channels * depth + 7) // 8)
+    need = h * (rowbytes + 1)
+    buf = raster[off : off + need]
+    if len(buf) != need:
+        raise ValueError("png: truncated raster")
+    recon = _png_unfilter(np.frombuffer(buf, np.uint8), h, rowbytes, bpp)
+    if depth == 8:
+        out = recon.reshape(h, w, channels)
+    elif depth == 16:
+        # 16-bit samples are big-endian; the 8-bit rendering keeps the
+        # high byte (exact for the v*257 standard upscaling)
+        out = recon.reshape(h, row_samples, 2)[:, :, 0].reshape(h, w, channels)
+    else:  # 1/2/4-bit: MSB-first packed samples, rows padded to bytes
+        bits = np.unpackbits(recon, axis=1)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        samples = (bits.reshape(h, -1, depth) * weights).sum(axis=2)
+        out = samples[:, :row_samples].reshape(h, w, channels).astype(np.uint8)
+    return off + need, out
+
+
 def decode_png(data: bytes) -> tuple[int, int, bytes] | None:
-    """8-bit non-interlaced greyscale / RGB / RGBA PNG → top-down RGB
-    (alpha dropped, grey replicated).  Other bit depths / palette /
-    interlaced images return None (fall through to the labeled stubs)."""
+    """Greyscale / RGB / palette / grey+alpha / RGBA PNG at any spec bit
+    depth (1/2/4/8/16 where the color type allows), non-interlaced OR
+    Adam7-interlaced → top-down RGB (alpha dropped, grey replicated,
+    sub-8-bit grey rescaled to full range, 16-bit truncated to the high
+    byte).  Malformed images return None (fall through to the labeled
+    stubs)."""
     import zlib
 
     if data[: len(_PNG_SIG)] != _PNG_SIG:
         return None
     # Malformed payloads must fall through to the stubs like the sibling
     # decoders (sniff-and-fall-back contract), never crash the Spark task:
-    # truncated IHDR -> struct.error, filter byte > 4 -> ValueError.
+    # truncated IHDR -> struct.error, filter byte > 4 / short raster /
+    # palette-index overflow -> ValueError.
     try:
         i, w = len(_PNG_SIG), 0
         h = bitdepth = color = interlace = -1
         idat = bytearray()
+        plte = None
         while i + 8 <= len(data):
             (length,), typ = struct.unpack_from(">I", data, i), data[i + 4 : i + 8]
             payload = data[i + 8 : i + 8 + length]
@@ -221,26 +271,55 @@ def decode_png(data: bytes) -> tuple[int, int, bytes] | None:
                 w, h, bitdepth, color, _comp, _filt, interlace = struct.unpack(
                     ">IIBBBBB", payload
                 )
+            elif typ == b"PLTE":
+                if length % 3:
+                    return None
+                plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
             elif typ == b"IDAT":
                 idat += payload
             elif typ == b"IEND":
                 break
             i += 12 + length  # len + type + payload + crc
-        channels = {0: 1, 2: 3, 6: 4}.get(color)
-        if channels is None or bitdepth != 8 or interlace != 0 or w <= 0 or h <= 0:
+        if color not in _PNG_COLORS or w <= 0 or h <= 0:
             return None
-        raster = np.frombuffer(zlib.decompress(bytes(idat)), np.uint8)
-        rowbytes = w * channels
-        if len(raster) != h * (rowbytes + 1):
+        channels, depths = _PNG_COLORS[color]
+        if bitdepth not in depths or (color == 3 and plte is None):
             return None
-        img = _png_unfilter(raster, h, rowbytes, channels).reshape(h, w, channels)
+        raster = zlib.decompress(bytes(idat))
+        if interlace == 0:
+            off, img = _png_samples(raster, 0, w, h, channels, bitdepth)
+        elif interlace == 1:  # Adam7
+            img = np.zeros((h, w, channels), np.uint8)
+            off = 0
+            for x0, y0, dx, dy in _ADAM7:
+                pw = -(-(w - x0) // dx) if w > x0 else 0
+                ph = -(-(h - y0) // dy) if h > y0 else 0
+                if pw <= 0 or ph <= 0:
+                    continue
+                off, sub = _png_samples(raster, off, pw, ph, channels, bitdepth)
+                img[y0::dy, x0::dx] = sub
+        else:
+            return None
+        if off != len(raster):
+            return None
+        if color == 3:  # palette lookup
+            if int(img.max()) >= len(plte):
+                return None
+            img = plte[img[:, :, 0]]
+        elif bitdepth < 8:  # rescale 1/2/4-bit grey to full range
+            img = (img.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))).astype(
+                np.uint8
+            )
     except (struct.error, ValueError, zlib.error):
         return None
-    if channels == 1:
+    ch = img.shape[2]
+    if ch == 1:
         img = np.repeat(img, 3, axis=2)
-    elif channels == 4:
+    elif ch == 2:  # grey + alpha: drop alpha, replicate grey
+        img = np.repeat(img[:, :, :1], 3, axis=2)
+    elif ch == 4:
         img = img[:, :, :3]
-    return w, h, img.tobytes()
+    return w, h, np.ascontiguousarray(img).tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -3,8 +3,10 @@
 The container ships no image/audio libraries, so decode is split by
 format capability:
 
-  - **REAL image decode** for 24-bit BMP, binary PPM (P6), 8-bit PNG,
-    palette GIF (functions/imagecodec.py) and baseline JPEG
+  - **REAL image decode** for 24-bit BMP, binary PPM (P6), PNG (all spec
+    bit depths per color type incl. palette and 16-bit, non-interlaced
+    and Adam7), palette GIF (functions/imagecodec.py) and JPEG — baseline
+    4:4:4/4:2:0/4:2:2 AND progressive 4:4:4
     (functions/jpegcodec.py — full DCT entropy codec, pure stdlib) —
     header parse, pixel decode (incl. GIF LZW and JPEG Huffman+IDCT),
     nearest-neighbor resize, and luminance-histogram features all compute

@@ -338,3 +338,166 @@ def test_gif_malformed_falls_through_to_none():
     true_color = rng.integers(0, 256, 32 * 32 * 3, dtype=np.uint8).tobytes()
     with pytest.raises(ValueError):
         encode_gif(32, 32, true_color)
+
+
+# ---------------------------------------------------------------------------
+# Widened PNG decode (round 5): palette / 16-bit / sub-8-bit / grey+alpha /
+# Adam7 interlace.  Streams are built by a test-local writer (filter 0, one
+# IDAT) so every expectation is independently constructed.
+# ---------------------------------------------------------------------------
+
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_chunk(typ: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(payload)) + typ + payload
+        + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+    )
+
+
+def _png_build(w, h, depth, color, interlace, raster, plte=None) -> bytes:
+    import struct
+    import zlib
+
+    from openie_spark.functions.imagecodec import _PNG_SIG
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(raster)) + _png_chunk(b"IEND", b"")
+
+
+def _png_rows(samples2d, depth) -> bytes:
+    import struct
+
+    h = samples2d.shape[0]
+    rows = []
+    for y in range(h):
+        row = samples2d[y]
+        if depth == 8:
+            rb = row.astype(np.uint8).tobytes()
+        elif depth == 16:
+            rb = b"".join(struct.pack(">H", int(v) * 257) for v in row)
+        else:
+            bits = np.zeros(((len(row) * depth + 7) // 8) * 8, np.uint8)
+            for i, v in enumerate(row):
+                for b in range(depth):
+                    bits[i * depth + b] = (int(v) >> (depth - 1 - b)) & 1
+            rb = np.packbits(bits).tobytes()
+        rows.append(b"\x00" + rb)
+    return b"".join(rows)
+
+
+def _png_adam7_raster(img, depth, channels) -> bytes:
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        parts.append(_png_rows(sub.reshape(sub.shape[0], sub.shape[1] * channels), depth))
+    return b"".join(parts)
+
+
+def test_png_16bit_palette_subbit_and_grey_alpha():
+    import random
+
+    from openie_spark.functions.imagecodec import decode_png
+
+    rng = random.Random(1)
+    w, h = 13, 9
+    rgb = np.array(
+        [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+        np.uint8,
+    )
+    out = decode_png(_png_build(w, h, 16, 2, 0, _png_rows(rgb.reshape(h, w * 3), 16)))
+    assert out is not None and out[:2] == (w, h) and out[2] == rgb.tobytes()
+
+    plte = np.array(
+        [[rng.randrange(256) for _ in range(3)] for _ in range(16)], np.uint8
+    )
+    idx = np.array([[rng.randrange(16) for _ in range(w)] for _ in range(h)], np.uint8)
+    out = decode_png(_png_build(w, h, 4, 3, 0, _png_rows(idx, 4), plte))
+    assert out is not None and out[2] == plte[idx].tobytes()
+
+    for d in (1, 2, 4):
+        g = np.array(
+            [[rng.randrange(1 << d) for _ in range(w)] for _ in range(h)], np.uint8
+        )
+        out = decode_png(_png_build(w, h, d, 0, 0, _png_rows(g, d)))
+        want = np.repeat(
+            (g * (255 // ((1 << d) - 1))).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+        assert out is not None and out[2] == want.tobytes(), d
+
+    ga = np.array(
+        [[[rng.randrange(256), rng.randrange(256)] for _ in range(w)] for _ in range(h)],
+        np.uint8,
+    )
+    out = decode_png(_png_build(w, h, 8, 4, 0, _png_rows(ga.reshape(h, w * 2), 8)))
+    assert out is not None and out[2] == np.repeat(ga[:, :, :1], 3, axis=2).tobytes()
+
+
+def test_png_adam7_interlace_exact():
+    import random
+
+    from openie_spark.functions.imagecodec import decode_png
+
+    rng = random.Random(2)
+    for w, h in ((13, 9), (1, 1), (8, 8), (16, 5), (3, 17)):
+        img = np.array(
+            [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+            np.uint8,
+        )
+        out = decode_png(_png_build(w, h, 8, 2, 1, _png_adam7_raster(img, 8, 3)))
+        assert out is not None and out[:2] == (w, h) and out[2] == img.tobytes(), (w, h)
+    plte = np.array([[10, 20, 30], [200, 100, 0], [0, 0, 255], [255, 255, 255]], np.uint8)
+    idx = np.array([[rng.randrange(4) for _ in range(11)] for _ in range(7)], np.uint8)
+    out = decode_png(
+        _png_build(11, 7, 2, 3, 1, _png_adam7_raster(idx[:, :, None], 2, 1), plte)
+    )
+    assert out is not None and out[2] == plte[idx].tobytes()
+
+
+def test_png_refusals_and_fuzz_safety():
+    """Palette stream without PLTE, index past the palette end, bad
+    interlace mode → None; truncations and random bit flips of the new
+    flavors must refuse or decode, never raise."""
+    import random
+
+    from openie_spark.functions.imagecodec import decode_png
+
+    rng = random.Random(3)
+    z4 = np.zeros((4, 4), np.uint8)
+    assert decode_png(_png_build(4, 4, 8, 3, 0, _png_rows(z4, 8))) is None
+    assert (
+        decode_png(
+            _png_build(1, 1, 8, 3, 0, _png_rows(np.array([[3]], np.uint8), 8),
+                       np.array([[1, 2, 3]], np.uint8))
+        )
+        is None
+    )
+    ihdr_bad = _png_build(4, 4, 8, 2, 2, _png_rows(np.zeros((4, 12), np.uint8), 8))
+    assert decode_png(ihdr_bad) is None
+    img = np.array(
+        [[[rng.randrange(256) for _ in range(3)] for _ in range(9)] for _ in range(7)],
+        np.uint8,
+    )
+    payloads = [
+        _png_build(9, 7, 8, 2, 1, _png_adam7_raster(img, 8, 3)),
+        _png_build(9, 7, 16, 2, 0, _png_rows(img.reshape(7, 27), 16)),
+    ]
+    for buf in payloads:
+        for cut in range(0, len(buf), 7):
+            decode_png(buf[:cut])  # must not raise
+        for _ in range(400):
+            b = bytearray(buf)
+            b[rng.randrange(len(b))] = rng.randrange(256)
+            decode_png(bytes(b))  # must not raise
