@@ -14,12 +14,16 @@ Formats (public specs):
     raw RGB rows top-down.  Comments (``#`` to EOL) allowed in the header.
   - BMP (Windows BITMAPINFOHEADER): 14-byte file header ('BM', size,
     pixel-data offset) + 40-byte DIB (width, height, planes, bpp,
-    compression), 24 bpp BI_RGB only; rows bottom-up (top-down when
-    height < 0), BGR byte order, stride padded to 4 bytes.
-  - PNG (W3C spec): 8-bit greyscale / RGB / RGBA, non-interlaced; chunked
-    container, zlib-inflated raster, the five scanline filters (none /
-    sub / up / average / paeth) reversed per spec §6.  Palette, 16-bit,
-    and Adam7 images fall through to the stubs.
+    compression); decode covers BI_RGB at 24 bpp (BGR), 32 bpp (BGRX,
+    pad/alpha dropped) and 8 bpp palette (BGRX color table); rows
+    bottom-up (top-down when height < 0), stride padded to 4 bytes.
+    The encoder emits 24 bpp only.
+  - PNG (W3C spec): every color-type/bit-depth combination — greyscale
+    (1/2/4/8/16), RGB (8/16), palette (1/2/4/8 via PLTE), grey+alpha and
+    RGBA (8/16) — non-interlaced AND Adam7; chunked container,
+    zlib-inflated raster, the five scanline filters (none / sub / up /
+    average / paeth) reversed per spec §6.  16-bit renders the high
+    byte; sub-8-bit grey rescales to full range; alpha is dropped.
   - GIF (CompuServe 87a/89a): logical screen + global/local color table,
     variable-width LZW (LSB-first bit packing, clear/end codes, 12-bit
     cap with deferred-clear table freeze), 4-pass interlace supported on
@@ -105,6 +109,11 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
 
 
 def decode_bmp(data: bytes) -> tuple[int, int, bytes] | None:
+    """Uncompressed (BI_RGB) BMP at 24 bpp (BGR), 32 bpp (BGRX — the
+    padding/alpha byte dropped), or 8 bpp palette (BGRX color table after
+    the DIB header) → top-down RGB.  Bottom-up rows (h > 0) flipped,
+    top-down (h < 0) kept; RLE/bitfields compression and sub-8-bit
+    palettes return None (fall through to the labeled stubs)."""
     if data[:2] != b"BM" or len(data) < 54:
         return None
     (off,) = struct.unpack_from("<I", data, 10)
@@ -112,20 +121,37 @@ def decode_bmp(data: bytes) -> tuple[int, int, bytes] | None:
     if dib_size < 40:  # BITMAPCOREHEADER not supported
         return None
     planes, bpp, compression = struct.unpack_from("<HHI", data, 26)
-    if planes != 1 or bpp != 24 or compression != 0 or w <= 0 or h == 0:
+    if planes != 1 or bpp not in (8, 24, 32) or compression != 0 or w <= 0 or h == 0:
         return None
     top_down = h < 0
     h = abs(h)
-    stride = (3 * w + 3) & ~3
+    stride = ((bpp // 8) * w + 3) & ~3
     if len(data) < off + stride * h:
         return None
     rows = np.frombuffer(data, np.uint8, count=stride * h, offset=off).reshape(
         h, stride
     )
-    img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bpp == 8:
+        # color table: biClrUsed entries (0 = full 256) of BGRX quads
+        (used,) = struct.unpack_from("<I", data, 46)
+        n_colors = used or 256
+        tbl_off = 14 + dib_size
+        if len(data) < tbl_off + 4 * n_colors:
+            return None
+        table = np.frombuffer(
+            data, np.uint8, count=4 * n_colors, offset=tbl_off
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX -> RGB
+        idx = rows[:, :w]
+        if int(idx.max()) >= n_colors:
+            return None
+        img = table[idx]
+    elif bpp == 32:
+        img = rows[:, : 4 * w].reshape(h, w, 4)[:, :, 2::-1]  # BGRX -> RGB
+    else:
+        img = rows[:, : 3 * w].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
     if not top_down:
         img = img[::-1]
-    return w, h, img.tobytes()
+    return w, h, np.ascontiguousarray(img).tobytes()
 
 
 # ---------------------------------------------------------------------------

@@ -501,3 +501,54 @@ def test_png_refusals_and_fuzz_safety():
             b = bytearray(buf)
             b[rng.randrange(len(b))] = rng.randrange(256)
             decode_png(bytes(b))  # must not raise
+
+
+def test_bmp_32bpp_and_8bpp_palette():
+    """Widened BMP decode (round 5): 32 bpp BGRX (padding byte dropped)
+    and 8 bpp palette via the BGRX color table, both bottom-up and
+    top-down; palette-index overflow refuses."""
+    import random
+    import struct
+
+    from openie_spark.functions.imagecodec import decode_bmp
+
+    rng = random.Random(4)
+    w, h = 5, 3
+
+    def bmp(bpp, pixel_rows, h_field, table=b""):
+        stride = ((bpp // 8) * w + 3) & ~3
+        body = b"".join(r + b"\x00" * (stride - len(r)) for r in pixel_rows)
+        off = 14 + 40 + len(table)
+        hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, h_field, 1, bpp, 0, len(body), 0, 0,
+            len(table) // 4, 0
+        )
+        return hdr + dib + table + body
+
+    rgb = np.array(
+        [[[rng.randrange(256) for _ in range(3)] for _ in range(w)] for _ in range(h)],
+        np.uint8,
+    )
+    # 32 bpp top-down: BGRX quads
+    rows32 = [
+        b"".join(bytes([int(p[2]), int(p[1]), int(p[0]), 0xAA]) for p in row)
+        for row in rgb
+    ]
+    out = decode_bmp(bmp(32, rows32, -h))
+    assert out is not None and out[:2] == (w, h) and out[2] == rgb.tobytes()
+    # 32 bpp bottom-up: rows stored last-first
+    out = decode_bmp(bmp(32, rows32[::-1], h))
+    assert out is not None and out[2] == rgb.tobytes()
+    # 8 bpp palette, bottom-up
+    palette = np.array(
+        [[rng.randrange(256) for _ in range(3)] for _ in range(7)], np.uint8
+    )
+    table = b"".join(bytes([int(c[2]), int(c[1]), int(c[0]), 0]) for c in palette)
+    idx = np.array([[rng.randrange(7) for _ in range(w)] for _ in range(h)], np.uint8)
+    rows8 = [r.tobytes() for r in idx[::-1]]
+    out = decode_bmp(bmp(8, rows8, h, table))
+    assert out is not None and out[2] == palette[idx].tobytes()
+    # palette-index overflow refused
+    bad = np.full((h, w), 9, np.uint8)
+    assert decode_bmp(bmp(8, [r.tobytes() for r in bad], -h, table)) is None
