@@ -58,7 +58,12 @@ def _pcm_to_int16(pcm: bytes, fmt: int, bits: int, channels: int) -> np.ndarray 
         if bits != 32:
             return None
         usable = len(pcm) - len(pcm) % (4 * channels)
-        f = np.clip(np.frombuffer(pcm[:usable], dtype="<f4").astype(np.float64), -1.0, 1.0)
+        f = np.frombuffer(pcm[:usable], dtype="<f4").astype(np.float64)
+        # canonicalize non-finite samples BEFORE the int cast: astype on
+        # NaN/±inf is C-undefined (INT_MIN on x86, 0 on some ARM paths),
+        # which would break the module's cross-host determinism contract
+        f = np.nan_to_num(f, nan=0.0, posinf=1.0, neginf=-1.0)
+        f = np.clip(f, -1.0, 1.0)
         return np.floor(f * 32767.0 + 0.5).astype(np.int16)
     if fmt != 1:
         return None  # compressed: caller falls back

@@ -821,8 +821,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
     width = height = None
     progressive = False
     comps: list[tuple[int, int, int, int]] = []  # (comp id, h, v, qtable id)
-    # (scan comps, Ss, Se, Ah, Al, entropy bytes) per SOS
-    scans: list[tuple[list, int, int, int, int, bytes]] = []
+    # (scan comps, Ss, Se, Ah, Al, entropy bytes, Huffman-table SNAPSHOT)
+    # per SOS — tables may be legally redefined between progressive scans
+    # (libjpeg -optimize emits fresh DHTs reusing ids 0/1 per scan), so
+    # each scan must decode with the table state in effect at ITS header,
+    # not the final state.
+    scans: list[tuple[list, int, int, int, int, bytes, dict]] = []
+    # per-component quantization table, latched at the component's FIRST
+    # scan (the libjpeg latch_quant_tables rule) — progressive dequant
+    # happens once at EOI but must use the table in effect when the
+    # component's coefficients started arriving
+    latched_qt: dict[int, np.ndarray] = {}
     pos = 2
     saw_eoi = False
     while pos + 2 <= len(data):
@@ -869,6 +878,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
                 if h not in (1, 2) or v not in (1, 2):
                     return None  # sampling factors above 2: unsupported
                 comps.append((cid, h, v, qid))
+            if ncomp == 1:
+                # T.81 A.2: a single-component scan is NON-interleaved —
+                # one data unit per MCU in plain block raster; the
+                # declared sampling factors do not shape the scan.
+                # Normalizing to 1×1 here makes the MCU loop degenerate
+                # to exactly that raster (and keeps 2×2-declared
+                # grayscale streams decoding unscrambled).
+                cid, _, _, qid = comps[0]
+                comps = [(cid, 1, 1, qid)]
         elif marker in (
             0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
@@ -909,9 +927,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
             end = _entropy_end(data, entropy_start)
             if end is None:
                 return None
+            for ci, _, _ in scan:
+                if ci not in latched_qt and comps[ci][3] in qtables:
+                    latched_qt[ci] = qtables[comps[ci][3]]
             scans.append(
                 (scan, band[0], band[1], band[2] >> 4, band[2] & 0x0F,
-                 data[entropy_start:end])
+                 data[entropy_start:end], dict(htables))
             )
             pos = end
             continue
@@ -929,29 +950,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, bytes] | None:
         np.zeros((mcuy * v, mcux * h, 64), np.int64) for _, h, v, _ in comps
     ]
     if not progressive:
-        scan, ss, se, ah, al, ent = scans[0]
+        scan, ss, se, ah, al, ent, tabs = scans[0]
         if len(scans) != 1 or (ss, se, ah, al) != (0, 63, 0, 0):
             return None
         if not _decode_baseline_scan(
-            coefs, comps, scan, htables, _BitReader(ent), mcuy, mcux
+            coefs, comps, scan, tabs, _BitReader(ent), mcuy, mcux
         ):
             return None
     else:
         if hmax != 1 or vmax != 1:
             return None  # progressive support is 4:4:4 only
         dc_pred = [0] * ncomp
-        for scan, ss, se, ah, al, ent in scans:
+        for scan, ss, se, ah, al, ent, tabs in scans:
             if ss == 0 and ah == 0:
                 for ci, _, _ in scan:
                     dc_pred[ci] = 0
             if not _decode_progressive_scan(
-                coefs, scan, ss, se, ah, al, htables, _BitReader(ent), dc_pred
+                coefs, scan, ss, se, ah, al, tabs, _BitReader(ent), dc_pred
             ):
                 return None
 
     planes = np.zeros((mcuy * vmax * 8, mcux * hmax * 8, ncomp))
     for ci, (_, h, v, qid) in enumerate(comps):
-        qt = qtables.get(qid)
+        qt = latched_qt.get(ci)
         if qt is None:
             return None
         bh_c, bw_c = coefs[ci].shape[0], coefs[ci].shape[1]

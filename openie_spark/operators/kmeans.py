@@ -93,11 +93,17 @@ def _trunc_div(a: int, b: int) -> int:
 
 
 def _dist_expr(centroid: list[int]):
+    # null-safe accumulate: zip_with pads a SHORT q_vec with nulls, which
+    # would otherwise poison the whole sum — coalescing each term to 0
+    # makes the distance "sum over the dims the vector actually has",
+    # exactly what the distributed plan's dim-join computes, so the two
+    # plans agree even on degenerate (empty/short) vectors.  Real inputs
+    # are fixed-dimension; this only pins the degenerate-case parity.
     lits = F.array(*[F.lit(int(x)).cast("bigint") for x in centroid])
     return F.aggregate(
         F.zip_with("q_vec", lits, lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("bigint"),
-        lambda a, v: a + v,
+        lambda a, v: a + F.coalesce(v, F.lit(0).cast("bigint")),
     )
 
 
@@ -186,10 +192,17 @@ def _kmeans_distributed(q: DataFrame, k: int, iters: int) -> DataFrame:
         best = d.groupBy("vec_id").agg(
             F.min(F.struct(F.col("d"), F.col("cid"))).alias("b")
         )
-        return best.select(
+        # left join from q: a zero-length q_vec explodes to NO (dim, x)
+        # rows and would silently vanish from the dim-join — the literal
+        # plan scores it as distance 0 to every centroid (zip_with over
+        # the empty array) and assigns cluster 0 / dist 0, so coalesce to
+        # exactly that.  (Both plans require FIXED-dimension non-empty
+        # vectors for meaningful results; this keeps the two bit-identical
+        # on the degenerate input rather than diverging on row count.)
+        return q.select("vec_id").join(best, "vec_id", "left").select(
             "vec_id",
-            F.col("b.cid").alias("cluster"),
-            F.col("b.d").alias("dist"),
+            F.coalesce(F.col("b.cid"), F.lit(0).cast("bigint")).alias("cluster"),
+            F.coalesce(F.col("b.d"), F.lit(0).cast("bigint")).alias("dist"),
         )
 
     for _ in range(iters):
@@ -236,8 +249,10 @@ def kmeans_int8(
         ),
         eager=True,
     )
+    n = None
     if k is None:
-        k = adaptive_k(q.count(), target_cluster_size)
+        n = q.count()
+        k = adaptive_k(n, target_cluster_size)
     if k <= literal_max_k:
         # driver-side seeding: collect the k ordered rows directly (their
         # list position IS the cid) — no window needed on this path
@@ -254,7 +269,8 @@ def kmeans_int8(
         if len(seeds) < k:
             raise ValueError(f"k-means needs >= {k} vectors, got {len(seeds)}")
         return _kmeans_literal(q, seeds, k, iters)
-    n = q.count()
+    if n is None:  # adaptive path already counted once — reuse it
+        n = q.count()
     if n < k:
         raise ValueError(f"k-means needs >= {k} vectors, got {n}")
     return _kmeans_distributed(q, k, iters)

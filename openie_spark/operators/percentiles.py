@@ -41,21 +41,32 @@ def disc_percentiles(
     val_col: str,
     ps: dict[str, tuple[int, int]],
 ) -> DataFrame:
-    """df → one row per distinct ``keys`` with ``n`` (group row count),
-    one column per ``ps`` entry (name → (num, den), the exact discrete
-    p = num/den percentile of ``val_col``), plus min/max as
-    ``<val_col>_min`` / ``<val_col>_max``."""
+    """df → one row per distinct ``keys`` with ``n`` (group row count,
+    COUNT(*)-style: NULL values included), one column per ``ps`` entry
+    (name → (num, den), the exact discrete p = num/den percentile of
+    ``val_col``), plus min/max as ``<val_col>_min`` / ``<val_col>_max``.
+
+    NULL semantics match ``percentile_disc`` / MIN / MAX / COUNT(*)
+    exactly: NULL values are EXCLUDED from the percentile multiset (the
+    position threshold uses the non-null count) and from min/max, but
+    counted in ``n`` — so a nullable value column cannot fork this
+    spelling from the engine-native oracle."""
+    nn = F.when(F.col(val_col).isNotNull(), F.col("_c")).otherwise(F.lit(0))
     h = df.groupBy(*keys, val_col).agg(F.count("*").alias("_c"))
     by = Window.partitionBy(*keys)
     cum_w = by.orderBy(val_col).rowsBetween(Window.unboundedPreceding, 0)
-    h = h.withColumn("_cum", F.sum("_c").over(cum_w)).withColumn(
-        "_n", F.sum("_c").over(by)
+    h = (
+        h.withColumn("_cum", F.sum(nn).over(cum_w))
+        .withColumn("_n", F.sum("_c").over(by))
+        .withColumn("_nn", F.sum(nn).over(by))
     )
 
     def pick(num: int, den: int) -> Column:
+        # v is NULL on the null-group row, so F.min skips it even though
+        # its _cum (0) can satisfy the test when _nn = 0
         return F.min(
             F.when(
-                F.col("_cum") * F.lit(den) >= F.lit(num) * F.col("_n"),
+                F.col("_cum") * F.lit(den) >= F.lit(num) * F.col("_nn"),
                 F.col(val_col),
             )
         )

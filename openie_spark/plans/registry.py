@@ -4549,6 +4549,12 @@ FROM ({inner}) GROUP BY n ORDER BY n
 # window stays covered by the local replica sweep (jobs/round_artifacts.py,
 # same dtype-strict canon) and the pytest oracle-parity layer, which run
 # ALL keys regardless of order.
+#
+# One swap on top of that rule: value_percentiles was REWRITTEN in round 5
+# (percentile_disc → the bounded-state distribution spelling), so its r4
+# driver-green was earned by code that no longer exists — it takes the
+# window slot of ppr, whose personalized-PageRank kernel is already
+# driver-covered by in-window entity_salience plus r3-green pagerank.
 QUERIES = {
     # --- driver window (first 50): never driver-green before round 5 ---
     "train_val_split": q_train_val_split,
@@ -4594,7 +4600,7 @@ QUERIES = {
     "rolling_distinct": q_rolling_distinct,
     "burst_hours": q_burst_hours,
     "semantic_prune": q_semantic_prune,
-    "ppr": q_ppr,
+    "value_percentiles": q_value_percentiles,
     "entity_salience": q_entity_salience,
     "importance_scores": q_importance_scores,
     "value_mad": q_value_mad,
@@ -4623,7 +4629,7 @@ QUERIES = {
     "events_asof_order": q_events_asof_order,
     "session_concurrency": q_session_concurrency,
     "fuzzy_match": q_fuzzy_match,
-    "value_percentiles": q_value_percentiles,
+    "ppr": q_ppr,
     "approx_distinct": q_approx_distinct,
     "ngram_jaccard": q_ngram_jaccard,
     "lang_id": q_lang_id,

@@ -158,3 +158,14 @@ def test_wav_extensible_wrapper_and_compressed_refusals():
     assert decode_wav(_wav(2, 1, 8000, 4, b"\x00" * 16)) is None  # ADPCM
     assert decode_wav(_wav(7, 1, 8000, 8, b"\x00" * 16)) is None  # mu-law
     assert decode_wav(_wav(1, 1, 8000, 12, b"\x00" * 16)) is None  # odd width
+
+
+def test_wav_float32_nonfinite_samples_canonicalized():
+    """NaN / ±inf float samples must decode deterministically (NaN → 0,
+    ±inf → full scale) — a raw astype on NaN is C-undefined and varies
+    across hosts, which would break the cross-host fingerprint
+    contract."""
+    f = np.array([np.nan, np.inf, -np.inf, 0.5], "<f4")
+    r = decode_wav(_wav(3, 1, 8000, 32, f.tobytes()))
+    assert r is not None
+    assert list(r[2]) == [0, 32767, -32767, 16384]

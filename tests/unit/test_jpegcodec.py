@@ -381,3 +381,110 @@ def test_sampling_factors_above_two_still_refused():
     assert decode_jpeg(bytes(patched)) is None
     # progressive + subsampling is refused (baseline-only support)
     assert decode_jpeg(buf.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+
+
+def test_progressive_dht_redefined_between_scans():
+    """Real-world optimized progressive JPEGs re-emit DHT segments
+    reusing table ids 0/1 before each scan; every scan must decode with
+    the table state at ITS header, not the file's final state.  Built by
+    re-sectioning the module's own progressive stream: each AC scan's
+    tables are moved to JUST BEFORE it, and the LUMA scans are re-coded
+    with a reversed-symbol table that id 0 later redefines."""
+    import struct as _struct
+
+    from openie_spark.functions import jpegcodec as J
+
+    w, h = 16, 16
+    rng = np.random.default_rng(21)
+    rgb = rng.integers(0, 256, w * h * 3, dtype=np.uint8).tobytes()
+    base = decode_jpeg(encode_jpeg(w, h, rgb))
+    coefs = J._quantize_image(w, h, rgb)
+
+    # two DIFFERENT spellings of the progressive AC table under id 0
+    alt_syms = list(reversed(J._AC_SYMBOLS_P))
+    alt_enc = J._canonical_codes(J._AC_BITS_P, alt_syms)
+
+    out = [
+        b"\xff\xd8",
+        _struct.pack(">HH", 0xFFDB, 67) + b"\x00"
+        + bytes(int(J._QTABLE.reshape(64)[z]) for z in J._ZIGZAG),
+        _struct.pack(">HHBHHB", 0xFFC2, 17, 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        J._dht_segment(0, 0, J._DC_BITS, J._DC_SYMBOLS),
+    ]
+    # scan 1+2: interleaved DC first (Al=1) + refinement
+    bw_ = J._BitWriter()
+    prev = [0, 0, 0]
+    for by in range(2):
+        for bx in range(2):
+            for comp in range(3):
+                dc = int(coefs[comp, by, bx, 0]) >> 1
+                diff = dc - prev[comp]
+                prev[comp] = dc
+                size = J._size_cat(diff)
+                J._write_magnitude(bw_, J._DC_ENC, size, diff, size)
+    out += [J._sos_segment([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 0, 1), bw_.flush()]
+    bw_ = J._BitWriter()
+    for by in range(2):
+        for bx in range(2):
+            for comp in range(3):
+                bw_.write(int(coefs[comp, by, bx, 0]) & 1, 1)
+    out += [J._sos_segment([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0), bw_.flush()]
+    # AC scans: luma coded with the ALT table, chroma with the standard
+    # one — BOTH defined under id 0, redefined right before each scan
+    for phase in ("first", "refine"):
+        for comp, cid in ((0, 1), (1, 2), (2, 3)):
+            enc = alt_enc if comp == 0 else J._AC_ENC_P
+            syms = alt_syms if comp == 0 else J._AC_SYMBOLS_P
+            out.append(J._dht_segment(1, 0, J._AC_BITS_P, syms))
+            bw_ = J._BitWriter()
+            if phase == "first":
+                J._encode_ac_first(coefs[comp], bw_, enc, 1, 63, 1)
+                out += [J._sos_segment([(cid, 0x00)], 1, 63, 0, 1), bw_.flush()]
+            else:
+                J._encode_ac_refine(coefs[comp], bw_, enc, 1, 63, 1, 0)
+                out += [J._sos_segment([(cid, 0x00)], 1, 63, 1, 0), bw_.flush()]
+    out.append(b"\xff\xd9")
+    got = decode_jpeg(b"".join(out))
+    assert got is not None and got == base
+
+
+def test_grayscale_with_declared_2x2_sampling_decodes_unscrambled():
+    """T.81 A.2: a single-component scan is NON-interleaved — the
+    declared sampling factors must not shape the block raster.  Encoders
+    commonly keep luma's 2x2 factors when dropping chroma; before the
+    round-5 fix this decoded spatially scrambled for 16-multiple dims."""
+    import struct as _struct
+
+    from openie_spark.functions import jpegcodec as J
+
+    w = h = 32  # 4x4 blocks — divisible by 16, the silent-scramble case
+    levels = [[16 * (4 * by + bx) % 256 for bx in range(4)] for by in range(4)]
+    bw_ = J._BitWriter()
+    prev = 0
+    for by in range(4):
+        for bx in range(4):  # spec order: plain raster
+            block = np.full((8, 8), float(levels[by][bx])) - 128.0
+            zz = J._quantize(J._fdct(block)).reshape(64)[J._ZIGZAG]
+            prev = J._encode_block_entropy(bw_, zz, prev)
+    qzz = bytes(int(J._QTABLE.reshape(64)[z]) for z in J._ZIGZAG)
+    buf = b"".join(
+        [
+            b"\xff\xd8",
+            _struct.pack(">HH", 0xFFDB, 67) + b"\x00" + qzz,
+            _struct.pack(">HHBHHB", 0xFFC0, 11, 8, h, w, 1)
+            + bytes([1, 0x22, 0]),  # single comp DECLARED 2x2
+            J._dht_segment(0, 0, J._DC_BITS, J._DC_SYMBOLS),
+            J._dht_segment(1, 0, J._AC_BITS, J._AC_SYMBOLS),
+            _struct.pack(">HHB", 0xFFDA, 8, 1) + bytes([1, 0x00, 0, 63, 0]),
+            bw_.flush(),
+            b"\xff\xd9",
+        ]
+    )
+    out = decode_jpeg(buf)
+    assert out is not None and out[:2] == (w, h)
+    px = np.frombuffer(out[2], np.uint8).reshape(h, w, 3)
+    for by in range(4):
+        for bx in range(4):
+            blk = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, 0].astype(int)
+            assert np.abs(blk - levels[by][bx]).max() <= 1, (by, bx)

@@ -192,3 +192,18 @@ def test_fuzz_spark_matches_twin(spark):
         df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
         got = _collect(kmeans_int8(df, k=k, iters=iters))
         assert got == _reference(rows, k, iters), f"seed {seed}"
+
+
+def test_empty_vector_kept_by_both_plans(spark):
+    """A zero-length embedding must not silently vanish from the
+    distributed plan (posexplode emits no rows for it): both plans emit
+    (vec_id, cluster 0, dist 0) for it — the literal plan's zip_with
+    semantics over the empty array."""
+    rows = [(i, [float(i % 5) / 4, 0.5, -0.25, 0.125]) for i in range(12)]
+    rows.append((99, []))
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    lit = _collect(kmeans_int8(df, k=3, iters=1))
+    dist = _collect(kmeans_int8(df, k=3, iters=1, literal_max_k=0))
+    assert lit == dist
+    assert lit[99] == (0, 0)
+    assert set(lit) == {r[0] for r in rows}

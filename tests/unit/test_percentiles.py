@@ -55,3 +55,37 @@ def test_deterministic_across_parallelism(spark):
     a = disc_percentiles(df1, ["g"], "v", ps).collect()
     b = disc_percentiles(df8, ["g"], "v", ps).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_null_values_match_percentile_disc_semantics(spark):
+    """NULLs are excluded from the percentile multiset and min/max but
+    counted in n (COUNT(*) parity with the registry oracles) — the exact
+    engine-native semantics, pinned so a nullable value column cannot
+    fork this spelling from percentile_disc."""
+    rows = [("a", 1), ("a", 2), ("a", 3), ("a", None), ("b", None), ("b", None)]
+    df = spark.createDataFrame(rows, "g string, v bigint")
+    out = {r["g"]: r for r in disc_percentiles(df, ["g"], "v", {"p50": (1, 2)}).collect()}
+    a = out["a"]
+    assert (a["n"], a["p50"], a["v_min"], a["v_max"]) == (4, 2, 1, 3)
+    b = out["b"]  # all-null group: count kept, value stats NULL
+    assert b["n"] == 2
+    assert b["p50"] is None and b["v_min"] is None and b["v_max"] is None
+    # cross-engine: same frame through DuckDB's percentile_disc
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('a',1),('a',2),('a',3),"
+        "('a',NULL),('b',NULL),('b',NULL)) AS v(g, x)"
+    )
+    want = con.execute(
+        "SELECT g, COUNT(*) AS n, percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS p50,"
+        " MIN(x) AS mn, MAX(x) AS mx FROM t GROUP BY g ORDER BY g"
+    ).fetchall()
+    got = [
+        (r["g"], r["n"], r["p50"], r["v_min"], r["v_max"])
+        for r in disc_percentiles(df, ["g"], "v", {"p50": (1, 2)})
+        .orderBy("g")
+        .collect()
+    ]
+    assert got == [tuple(w) for w in want]
