@@ -44,7 +44,11 @@ TWO bit-identical physical plans, chosen by the resolved k:
     k-sized ever reaches the driver, so k can scale ∝ corpus size.  The
     selection rule (min over (dist, cid)) is identical in both plans and
     physical-plan-oblivious, so the two are bit-identical wherever both
-    run — pinned by tests/unit/test_kmeans.py.
+    run — pinned by tests/unit/test_kmeans.py.  Degenerate inputs are
+    pinned too: an empty NON-seed vector assigns (cluster 0, dist 0) in
+    both plans; an empty or ragged SEED vector is refused up front with
+    the same ValueError in both (it would crash the literal centroid
+    update but silently drop out of the distributed dim-join).
 
 Scale shape: the corpus is scanned once per iteration either way.
 max |dist| = d·254² ≈ 4.1e6 at d=64, so dist·TIE_SCALE (≤ 4.2e12) and
@@ -192,17 +196,10 @@ def _kmeans_distributed(q: DataFrame, k: int, iters: int) -> DataFrame:
         best = d.groupBy("vec_id").agg(
             F.min(F.struct(F.col("d"), F.col("cid"))).alias("b")
         )
-        # left join from q: a zero-length q_vec explodes to NO (dim, x)
-        # rows and would silently vanish from the dim-join — the literal
-        # plan scores it as distance 0 to every centroid (zip_with over
-        # the empty array) and assigns cluster 0 / dist 0, so coalesce to
-        # exactly that.  (Both plans require FIXED-dimension non-empty
-        # vectors for meaningful results; this keeps the two bit-identical
-        # on the degenerate input rather than diverging on row count.)
-        return q.select("vec_id").join(best, "vec_id", "left").select(
+        return best.select(
             "vec_id",
-            F.coalesce(F.col("b.cid"), F.lit(0).cast("bigint")).alias("cluster"),
-            F.coalesce(F.col("b.d"), F.lit(0).cast("bigint")).alias("dist"),
+            F.col("b.cid").alias("cluster"),
+            F.col("b.d").alias("dist"),
         )
 
     for _ in range(iters):
@@ -226,7 +223,21 @@ def _kmeans_distributed(q: DataFrame, k: int, iters: int) -> DataFrame:
             )
         )
         cents = cut_lineage(cents, eager=True)  # k·d rows, plan stays flat
-    return assign(cents)
+    # Restore vectors whose zero-length q_vec explodes to NO (dim, x)
+    # rows and therefore never reaches the dim-join: the literal plan
+    # scores them as distance 0 to every centroid (null-safe zip_with
+    # fold over the empty array) and assigns cluster 0 / dist 0, so
+    # coalesce to exactly that.  ONCE, on the final result — inside the
+    # update loop the restored rows would be immediately dropped by the
+    # inner join with vecs, so the per-iteration left join would be a
+    # wasted full-corpus shuffle.  (Empty SEEDS are refused up front by
+    # kmeans_int8's seed-dimension validation — identically in both
+    # plans.)
+    return q.select("vec_id").join(assign(cents), "vec_id", "left").select(
+        "vec_id",
+        F.coalesce(F.col("cluster"), F.lit(0).cast("bigint")).alias("cluster"),
+        F.coalesce(F.col("dist"), F.lit(0).cast("bigint")).alias("dist"),
+    )
 
 
 def kmeans_int8(
@@ -268,9 +279,29 @@ def kmeans_int8(
         )
         if len(seeds) < k:
             raise ValueError(f"k-means needs >= {k} vectors, got {len(seeds)}")
+        dims = {len(r["q_vec"]) for r in seeds}
+        if len(dims) != 1 or 0 in dims:
+            raise ValueError(
+                "k-means seeds must be fixed-dimension non-empty vectors; "
+                f"seed dims seen: {sorted(dims)}"
+            )
         return _kmeans_literal(q, seeds, k, iters)
     if n is None:  # adaptive path already counted once — reuse it
         n = q.count()
     if n < k:
         raise ValueError(f"k-means needs >= {k} vectors, got {n}")
+    # same seed validation as the literal plan, without k-sized driver
+    # state: an empty/ragged SEED would crash the literal centroid update
+    # but silently drop out of the distributed dim-join — refuse both,
+    # identically (non-seed degenerate vectors keep the (0, 0) parity)
+    sz = (
+        _seed_frame(q, k)
+        .select(F.size("q_vec").alias("s"))
+        .agg(F.countDistinct("s").alias("nd"), F.min("s").alias("mn"))
+        .first()
+    )
+    if sz["nd"] != 1 or sz["mn"] == 0:
+        raise ValueError(
+            "k-means seeds must be fixed-dimension non-empty vectors"
+        )
     return _kmeans_distributed(q, k, iters)

@@ -195,10 +195,12 @@ def test_fuzz_spark_matches_twin(spark):
 
 
 def test_empty_vector_kept_by_both_plans(spark):
-    """A zero-length embedding must not silently vanish from the
-    distributed plan (posexplode emits no rows for it): both plans emit
-    (vec_id, cluster 0, dist 0) for it — the literal plan's zip_with
-    semantics over the empty array."""
+    """A zero-length NON-SEED embedding must not silently vanish from
+    the distributed plan (posexplode emits no rows for it): both plans
+    emit (vec_id, cluster 0, dist 0) for it — the literal plan's
+    null-safe zip_with fold over the empty array.  (vec_id 99 hashes far
+    outside the k=3 seed set for this id range; empty SEEDS are refused
+    — see the test below.)"""
     rows = [(i, [float(i % 5) / 4, 0.5, -0.25, 0.125]) for i in range(12)]
     rows.append((99, []))
     df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
@@ -207,3 +209,23 @@ def test_empty_vector_kept_by_both_plans(spark):
     assert lit == dist
     assert lit[99] == (0, 0)
     assert set(lit) == {r[0] for r in rows}
+
+
+def test_empty_seed_vector_refused_identically_by_both_plans(spark):
+    """An empty vector whose id ranks inside the k smallest
+    (portable_hash60, vec_id) pairs becomes a SEED: the literal plan
+    would crash in the centroid update (IndexError on the empty centroid
+    list) and the distributed plan would silently drop the centroid from
+    the dim-join — both must instead refuse up front with the same
+    ValueError."""
+    ids = list(range(20))
+    seed_id = min(ids, key=lambda vid: (_h60(str(vid)), vid))
+    rows = [
+        (i, [] if i == seed_id else [((i * 7 + d * 3) % 16) / 8.0 - 1.0 for d in range(4)])
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    with pytest.raises(ValueError, match="fixed-dimension non-empty"):
+        kmeans_int8(df, k=3, iters=1)
+    with pytest.raises(ValueError, match="fixed-dimension non-empty"):
+        kmeans_int8(df, k=3, iters=1, literal_max_k=0)

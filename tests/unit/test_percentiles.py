@@ -70,22 +70,25 @@ def test_null_values_match_percentile_disc_semantics(spark):
     b = out["b"]  # all-null group: count kept, value stats NULL
     assert b["n"] == 2
     assert b["p50"] is None and b["v_min"] is None and b["v_max"] is None
-    # cross-engine: same frame through DuckDB's percentile_disc
+    # cross-engine: same frame through DuckDB's percentile_disc, compared
+    # via the ONE-home dtype-strict canon (never hand-roll a value
+    # compare — an int vs float64 fork must mismatch)
     import duckdb
+
+    from openie_spark.plans.compare import compare_frames
 
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t AS SELECT * FROM (VALUES ('a',1),('a',2),('a',3),"
         "('a',NULL),('b',NULL),('b',NULL)) AS v(g, x)"
     )
-    want = con.execute(
-        "SELECT g, COUNT(*) AS n, percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS p50,"
-        " MIN(x) AS mn, MAX(x) AS mx FROM t GROUP BY g ORDER BY g"
-    ).fetchall()
-    got = [
-        (r["g"], r["n"], r["p50"], r["v_min"], r["v_max"])
-        for r in disc_percentiles(df, ["g"], "v", {"p50": (1, 2)})
-        .orderBy("g")
-        .collect()
-    ]
-    assert got == [tuple(w) for w in want]
+    oracle = con.execute(
+        "SELECT g, CAST(COUNT(*) AS BIGINT) AS n,"
+        " percentile_disc(0.5) WITHIN GROUP (ORDER BY x) AS p50,"
+        " MIN(x) AS v_min, MAX(x) AS v_max FROM t GROUP BY g ORDER BY g"
+    ).df()
+    got = (
+        disc_percentiles(df, ["g"], "v", {"p50": (1, 2)}).orderBy("g").toPandas()
+    )
+    res = compare_frames(got, oracle)
+    assert res["hash_match"], res
